@@ -1,0 +1,82 @@
+"""Config system tests: INI loading, defaults, round-trip, derived fields."""
+
+import os
+
+from gan_sr_wind_field_tpu.config import Config, load_config, safe_list_from_string
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOCAL_INI = os.path.join(REPO, "configs", "local.ini")
+CLUSTER_INI = os.path.join(REPO, "configs", "cluster.ini")
+
+
+def test_defaults():
+    cfg = Config()
+    assert cfg.scale == 4
+    assert cfg.training.d_g_train_period == 50
+    assert cfg.generator.num_features == 128
+    assert cfg.gan_config.number_of_z_layers == 10
+
+
+def test_load_local_ini():
+    cfg = Config.from_ini(LOCAL_INI)
+    assert cfg.name == "local_test"
+    assert cfg.scale == 4
+    assert cfg.gan_config.include_pressure is False
+    assert cfg.gan_config.include_z_channel is True
+    assert cfg.gan_config.enable_slicing is True
+    assert cfg.gan_config.slice_size == 64
+    assert cfg.gan_config.start_date == [2018, 3, 1]
+    assert cfg.generator.num_RRDB == 16
+    assert cfg.generator.hr_kern_size == 5
+    assert cfg.generator.weight_init_scale == 0.1
+    assert cfg.discriminator.num_features == 32
+    assert cfg.training.learning_rate_g == 8e-5
+    assert cfg.training.multistep_lr_steps == [10000, 30000, 50000, 70000, 100000]
+    assert cfg.training.gan_type == "relativisticavg"
+    assert cfg.training.gradient_xy_loss_weight == 3.064
+    assert cfg.training.niter == 10
+    assert cfg.dataset_train.batch_size == 1
+    assert cfg.dataset_train.data_aug_rot is True
+
+
+def test_load_cluster_ini():
+    cfg = Config.from_ini(CLUSTER_INI)
+    assert cfg.training.niter == 150000
+    assert cfg.dataset_train.batch_size == 32
+    assert cfg.gan_config.start_date == [2017, 8, 4]
+    assert cfg.gan_config.end_date == [2020, 10, 25]
+
+
+def test_roundtrip():
+    cfg = Config.from_ini(LOCAL_INI)
+    text = cfg.as_ini()
+    cfg2 = Config.from_ini_string(text)
+    assert cfg2.name == cfg.name
+    assert cfg2.training.multistep_lr_steps == cfg.training.multistep_lr_steps
+    assert cfg2.generator.num_RRDB == cfg.generator.num_RRDB
+    assert cfg2.gan_config.include_z_channel == cfg.gan_config.include_z_channel
+    assert cfg2.training.gradient_xy_loss_weight == cfg.training.gradient_xy_loss_weight
+    assert cfg2.parallel.data_parallel == cfg.parallel.data_parallel
+
+
+def test_lr_num_channels():
+    # boolean-arithmetic channel count (reference wind_field_GAN_3D.py:92-96)
+    cfg = Config.from_ini(LOCAL_INI)
+    assert cfg.lr_num_channels == 4  # uvw + z channel
+    cfg.gan_config.include_pressure = True
+    assert cfg.lr_num_channels == 5
+    cfg.gan_config.include_above_ground_channel = True
+    assert cfg.lr_num_channels == 6
+
+
+def test_safe_list_from_string():
+    # tolerant parsing (reference config/config.py:384-396)
+    assert safe_list_from_string("[1, 2, 3]") == [1, 2, 3]
+    assert safe_list_from_string("7") == [7]
+    assert safe_list_from_string("garbage[") == []
+    assert safe_list_from_string(None) == []
+
+
+def test_overrides():
+    cfg = load_config(LOCAL_INI, scale=8, is_train=True)
+    assert cfg.scale == 8 and cfg.is_train
