@@ -1,0 +1,231 @@
+"""NN building blocks (Flax linen, NDHWC channel-last, bf16-compute ready).
+
+TPU-first re-design of the reference block set
+(reference: CNN_models/torch_blocks.py:1-521):
+
+- all convs are `lax.conv_general_dilated` (NDHWC / DHWIO) — XLA lowers these
+  onto the MXU; channels-last keeps C on the 128-lane axis (nf=128 fits the
+  MXU tile exactly),
+- factory-built convs carry **no bias** (reference torch_blocks.py:17),
+  the RDB local-feature-fusion conv and final HR conv do,
+- weight init is Kaiming-normal fan-in × scale (reference
+  tools/initialization.py:15-34) expressed as `variance_scaling`,
+- channel-wise Dropout3d == `nn.Dropout` broadcast over all spatial dims,
+- LeakyReLU slope 0.2.
+
+Dense (RDB) concatenation order and residual scalings match the reference so
+training dynamics are comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+def kaiming_scaled(scale: float = 1.0):
+    """Kaiming-normal fan-in init scaled by ``scale``.
+
+    torch ``kaiming_normal_(a=0, mode='fan_in')`` draws std=sqrt(2/fan_in);
+    multiplying the weight by ``scale`` afterwards is equivalent to
+    variance_scaling with variance 2·scale².
+    (reference: tools/initialization.py:15-34)
+    """
+    return nn.initializers.variance_scaling(
+        2.0 * scale * scale, mode="fan_in", distribution="normal"
+    )
+
+
+def _triple(v) -> Tuple[int, int, int]:
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v, v, v)
+
+
+def _pad_triple(p) -> Sequence[Tuple[int, int]]:
+    p = _triple(p)
+    return [(p[0], p[0]), (p[1], p[1]), (p[2], p[2])]
+
+
+class ConvLReLU(nn.Module):
+    """Conv3D (+BatchNorm/InstanceNorm) (+LeakyReLU), CNA order.
+
+    Mirrors the reference conv factory (torch_blocks.py:5-37): bias-free conv,
+    optional norm, optional slope-0.2 LeakyReLU.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+    strides: Union[int, Tuple[int, int, int]] = 1
+    padding: Union[int, Tuple[int, int, int]] = 1
+    norm: str = ""  # "", "batch", "instance"
+    lrelu: bool = True
+    negative_slope: float = 0.2
+    use_bias: bool = False
+    init_scale: float = 1.0
+    dtype: Optional[Dtype] = None  # compute dtype (bf16); params stay f32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = nn.Conv(
+            features=self.features,
+            kernel_size=_triple(self.kernel_size),
+            strides=_triple(self.strides),
+            padding=_pad_triple(self.padding),
+            use_bias=self.use_bias,
+            kernel_init=kaiming_scaled(self.init_scale),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.norm == "batch":
+            # torch BatchNorm3d defaults: momentum 0.1 (flax: 0.9), eps 1e-5.
+            # Under jit-with-sharding the batch stats are global across the
+            # data mesh axis automatically (XLA computes logical-global means).
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        elif self.norm == "instance":
+            x = nn.GroupNorm(
+                num_groups=None,
+                group_size=1,
+                epsilon=1e-5,
+                use_bias=False,
+                use_scale=False,
+                dtype=self.dtype,
+            )(x)
+        elif self.norm:
+            raise NotImplementedError(f"Unknown norm type {self.norm!r}")
+        if self.lrelu:
+            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+        return x
+
+
+class RDB(nn.Module):
+    """Residual Dense Block (reference torch_blocks.py:217-290).
+
+    ``num_convs - 1`` dense conv+lrelu growth layers (concat along C) followed
+    by a 1×1×1 (or lff_kern³) local-feature-fusion conv WITH bias, residual
+    scaled by ``residual_scaling``.
+    """
+
+    growth_channels: int
+    num_convs: int = 5
+    lff_kern_size: int = 1
+    residual_scaling: float = 0.2
+    negative_slope: float = 0.2
+    init_scale: float = 1.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        feats = x
+        for i in range(self.num_convs - 1):
+            out = ConvLReLU(
+                features=self.growth_channels,
+                kernel_size=3,
+                padding=1,
+                lrelu=True,
+                negative_slope=self.negative_slope,
+                init_scale=self.init_scale,
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(feats)
+            feats = jnp.concatenate([feats, out], axis=-1)
+        lff_pad = (self.lff_kern_size - 1) // 2
+        residual = nn.Conv(
+            features=in_features,
+            kernel_size=_triple(self.lff_kern_size),
+            padding=_pad_triple(lff_pad),
+            use_bias=True,  # reference LFF conv keeps its bias (torch_blocks.py:278)
+            kernel_init=kaiming_scaled(self.init_scale),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="LFF",
+        )(feats)
+        return residual * self.residual_scaling + x
+
+
+class RRDB(nn.Module):
+    """Residual-in-Residual Dense Block: 3 RDBs + scaled outer residual
+    (reference torch_blocks.py:293-330)."""
+
+    growth_channels: int
+    num_convs: int = 5
+    lff_kern_size: int = 1
+    rdb_residual_scaling: float = 0.2
+    rrdb_residual_scaling: float = 0.2
+    num_rdbs: int = 3
+    negative_slope: float = 0.2
+    init_scale: float = 1.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = x
+        for i in range(self.num_rdbs):
+            out = RDB(
+                growth_channels=self.growth_channels,
+                num_convs=self.num_convs,
+                lff_kern_size=self.lff_kern_size,
+                residual_scaling=self.rdb_residual_scaling,
+                negative_slope=self.negative_slope,
+                init_scale=self.init_scale,
+                dtype=self.dtype,
+                name=f"RDB{i}",
+            )(out)
+        return out * self.rrdb_residual_scaling + x
+
+
+class DiscriminatorBlock(nn.Module):
+    """conv(+norm)+lrelu then strided conv(+norm)+lrelu.
+
+    Stride is (2,2,2) when ``halve_z`` else (2,2,1); strided kernel is
+    (4,4,feat_kern) with padding 1 (reference torch_blocks.py:372-521).
+    ``drop_first_norm`` skips the norm on the first conv (block 0).
+    """
+
+    features: int
+    feat_kern_size: int = 3
+    norm: str = "batch"
+    drop_first_norm: bool = False
+    halve_z: bool = False
+    negative_slope: float = 0.2
+    init_scale: float = 1.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        pad = (self.feat_kern_size - 1) // 2
+        x = ConvLReLU(
+            features=self.features,
+            kernel_size=self.feat_kern_size,
+            strides=1,
+            padding=pad,
+            norm="" if self.drop_first_norm else self.norm,
+            negative_slope=self.negative_slope,
+            init_scale=self.init_scale,
+            dtype=self.dtype,
+            name="conv",
+        )(x, train=train)
+        stride = (2, 2, 2) if self.halve_z else (2, 2, 1)
+        x = ConvLReLU(
+            features=self.features,
+            kernel_size=(4, 4, self.feat_kern_size),
+            strides=stride,
+            padding=1,
+            norm=self.norm,
+            negative_slope=self.negative_slope,
+            init_scale=self.init_scale,
+            dtype=self.dtype,
+            name="strided_conv",
+        )(x, train=train)
+        return x

@@ -1,0 +1,160 @@
+"""Generator3D — RRDB ESRGAN-3D super-resolution generator.
+
+TPU-native counterpart of the reference generator
+(CNN_models/Generator_3D_Resnet_ESRGAN.py:23-229):
+
+LR (N, x, y, z, C_in)
+  → feature_conv (3×3×3, C_in→nf, no act)
+  → skip( num_RRDB × RRDB → lr_conv )                 # long residual
+  → ⌊log2(scale)⌋ × [nearest ×(2,2,1) upsample → conv3 → lrelu]
+Z  (N, X, Y, z, 1) at HR resolution
+  → terrain_convs: conv3(1→tnf)+lrelu → conv3(tnf→tnf)
+concat(channel) → hr_conv(k⁵)+lrelu → channel Dropout3d → hr_conv(k⁵)→3ch
+
+Upsampling is horizontal-only ((2,2,1) — z is never upscaled), non-power-of-2
+scales round down (reference :201-206). All convs bias-free except the final
+HR conv (torch Conv3d default bias). Compute dtype is bf16-able; the module
+returns float32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from gan_sr_wind_field_tpu.models.blocks import (
+    ConvLReLU,
+    RRDB,
+    _pad_triple,
+    _triple,
+    kaiming_scaled,
+)
+from gan_sr_wind_field_tpu.ops.resize import upsample_nearest_xy
+
+
+class Generator3D(nn.Module):
+    in_channels: int = 4
+    out_channels: int = 3
+    num_features: int = 128
+    num_rrdb: int = 16
+    upscale: int = 4
+    hr_kern_size: int = 5
+    num_rdb_convs: int = 5
+    rdb_growth_channels: int = 32
+    lff_kern_size: int = 1
+    rdb_residual_scaling: float = 0.2
+    rrdb_residual_scaling: float = 0.2
+    negative_slope: float = 0.2
+    terrain_features: int = 16
+    dropout_probability: float = 0.0
+    init_scale: float = 0.1  # weight_init_scale (cfg generator.weight_init_scale)
+    dtype: Optional[Any] = None  # compute dtype, e.g. jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, lr, z_terrain, train: bool = True, rng_key=None):
+        """lr: (N,x,y,zl,C_in); z_terrain: (N, x·scale, y·scale, zl, 1)."""
+        cdt = self.dtype or jnp.float32
+        x = lr.astype(cdt)
+
+        x = ConvLReLU(
+            features=self.num_features,
+            kernel_size=3,
+            padding=1,
+            lrelu=False,
+            init_scale=self.init_scale,
+            dtype=self.dtype,
+            name="feature_conv",
+        )(x)
+
+        trunk = x
+        for i in range(self.num_rrdb):
+            trunk = RRDB(
+                growth_channels=self.rdb_growth_channels,
+                num_convs=self.num_rdb_convs,
+                lff_kern_size=self.lff_kern_size,
+                rdb_residual_scaling=self.rdb_residual_scaling,
+                rrdb_residual_scaling=self.rrdb_residual_scaling,
+                negative_slope=self.negative_slope,
+                init_scale=self.init_scale,
+                dtype=self.dtype,
+                name=f"RRDB{i}",
+            )(trunk)
+        trunk = ConvLReLU(
+            features=self.num_features,
+            kernel_size=3,
+            padding=1,
+            lrelu=False,  # reference lr_conv has no activation
+            init_scale=self.init_scale,
+            dtype=self.dtype,
+            name="lr_conv",
+        )(trunk)
+        x = x + trunk  # SkipConnectionBlock (torch_blocks.py:40-46)
+
+        n_up = int(math.floor(math.log2(self.upscale)))
+        for i in range(n_up):
+            x = upsample_nearest_xy(x, 2)
+            x = ConvLReLU(
+                features=self.num_features,
+                kernel_size=3,
+                padding=1,
+                lrelu=True,
+                negative_slope=self.negative_slope,
+                init_scale=self.init_scale,
+                dtype=self.dtype,
+                name=f"upconv{i}",
+            )(x)
+
+        t = z_terrain.astype(cdt)
+        t = ConvLReLU(
+            features=self.terrain_features,
+            kernel_size=3,
+            padding=1,
+            lrelu=True,
+            negative_slope=self.negative_slope,
+            init_scale=self.init_scale,
+            dtype=self.dtype,
+            name="terrain_conv0",
+        )(t)
+        t = ConvLReLU(
+            features=self.terrain_features,
+            kernel_size=3,
+            padding=1,
+            lrelu=False,
+            init_scale=self.init_scale,
+            dtype=self.dtype,
+            name="terrain_conv1",
+        )(t)
+
+        x = jnp.concatenate([x, t], axis=-1)
+
+        hr_pad = (self.hr_kern_size - 1) // 2
+        x = ConvLReLU(
+            features=self.num_features + self.terrain_features,
+            kernel_size=self.hr_kern_size,
+            padding=hr_pad,
+            lrelu=True,
+            negative_slope=self.negative_slope,
+            init_scale=self.init_scale,
+            dtype=self.dtype,
+            name="hr_conv0",
+        )(x)
+        # channel dropout (torch Dropout3d): broadcast over spatial dims
+        x = nn.Dropout(
+            rate=self.dropout_probability,
+            broadcast_dims=(1, 2, 3),
+            deterministic=not train or self.dropout_probability == 0.0,
+        )(x, rng=rng_key)
+        x = nn.Conv(
+            features=self.out_channels,
+            kernel_size=_triple(self.hr_kern_size),
+            padding=_pad_triple(hr_pad),
+            use_bias=True,  # final conv keeps torch's default bias
+            kernel_init=kaiming_scaled(self.init_scale),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="hr_conv1",
+        )(x)
+        return x.astype(jnp.float32)
