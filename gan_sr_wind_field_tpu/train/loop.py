@@ -1,0 +1,228 @@
+"""Training loop driver.
+
+Counterpart of reference train.py:24-337, TPU-style:
+
+- the hot loop is just: next prefetched batch → jitted `train_step` (all
+  schedules/alternation live inside the compiled step),
+- host-side work (logging, checkpointing, validation sweeps, figures) happens
+  only at the configured periods and never blocks the device more than the
+  metric fetches require,
+- augmentation runs on-device inside the step (dataset host-side aug is
+  disabled in that case) — the host just stacks patches,
+- throughput (voxels/sec) is tracked and logged; `jax.profiler` traces can be
+  enabled for the first iterations like the reference's torch.profiler window
+  (train.py:112-120).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from gan_sr_wind_field_tpu.data.pipeline import prefetch_to_device
+from gan_sr_wind_field_tpu.ops.resize import upsample_trilinear_xy
+from gan_sr_wind_field_tpu.train import checkpoint as ckpt
+from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+from gan_sr_wind_field_tpu.utils.tb import MetricsWriter
+from gan_sr_wind_field_tpu.viz.plots import (
+    create_comparison_figure,
+    create_error_figure,
+)
+
+TRAIN_LOSS_KEYS = (
+    "total", "adversarial", "pix", "xy_gradient", "z_gradient",
+    "divergence", "xy_divergence", "feature_D",
+)
+
+
+def train(cfg, dataset_train, dataset_validation, x, y,
+          mesh: Optional[jax.sharding.Mesh] = None,
+          data_sharding=None,
+          profile_dir: Optional[str] = None,
+          max_steps: Optional[int] = None):
+    """Run training to cfg.training.niter. Returns the final state."""
+    status = logging.getLogger("status")
+    cfg_t = cfg.training
+    run_folder = cfg.env.this_runs_folder or "./runs_root/run"
+    os.makedirs(os.path.join(run_folder, "images"), exist_ok=True)
+    tb = MetricsWriter(
+        cfg.env.this_runs_tensorboard_log_folder
+        or os.path.join(run_folder, "tb"),
+        use_tensorboard=cfg.use_tensorboard_logger,
+    )
+
+    gan = WindFieldGAN(cfg, x, y, mesh=mesh)
+
+    # device-side augmentation replaces host-side (same semantics, on-TPU)
+    augment_on_device = bool(
+        dataset_train.data_aug_rot or dataset_train.data_aug_flip
+    )
+    dataset_train.data_aug_rot = False
+    dataset_train.data_aug_flip = False
+
+    batch_size = cfg.dataset_train.batch_size if cfg.dataset_train else 1
+    rng_np = np.random.default_rng(cfg.env.fixed_seed)
+    probe_lr, probe_hr, _probe_z = dataset_train.get(0, rng_np)
+
+    state = gan.init_state(
+        jax.random.key(cfg.env.fixed_seed),
+        (batch_size,) + probe_lr.shape,
+        (batch_size,) + probe_hr.shape,
+    )
+
+    if cfg.load_model_from_save and cfg_t.resume_training_from_save:
+        path = cfg.env.state_load_path or ckpt.latest_checkpoint(run_folder)
+        if path:
+            state = ckpt.restore_checkpoint(path, state)
+            status.info(f"resumed from {path} at it={int(state.it)}")
+
+    niter = min(cfg_t.niter, max_steps) if max_steps else cfg_t.niter
+    start_it = int(state.it)
+    status.info(f"beginning run at it={start_it}, target niter={niter}")
+
+    it = start_it
+    voxels_per_batch = batch_size * int(np.prod(probe_hr.shape[:3]))
+    t_window, it_window = time.time(), it
+    epochs = max(1, int(np.ceil((niter - start_it) * batch_size /
+                                max(len(dataset_train), 1))) + 1)
+
+    batch_iter = dataset_train.batches(
+        batch_size, rng_np, shuffle=True, epochs=epochs
+    )
+    prefetched = prefetch_to_device(batch_iter, sharding=data_sharding)
+
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
+    for lr_b, hr_b, z_b in prefetched:
+        if it >= niter:
+            break
+        it += 1
+        state, metrics = gan.train_step(
+            state, lr_b, hr_b, z_b, augment=augment_on_device
+        )
+
+        if profile_dir and it - start_it == 10:
+            jax.block_until_ready(metrics["total"])
+            jax.profiler.stop_trace()
+            profile_dir = None
+
+        if it % cfg_t.log_period == 0:
+            host_m = {k: float(metrics[k]) for k in TRAIN_LOSS_KEYS}
+            dt = time.time() - t_window
+            ips = (it - it_window) / max(dt, 1e-9)
+            t_window, it_window = time.time(), it
+            status.info(
+                f"it {it} G_total {host_m['total']:.5f} "
+                f"D {float(metrics['D_train_loss']):.5f} "
+                f"{ips:.2f} it/s ({ips * voxels_per_batch / 1e6:.2f} Mvox/s)"
+            )
+            tb.add_scalars("G_loss/train", host_m, it)
+            tb.add_scalars(
+                "perf", {"it_per_s": ips,
+                         "voxels_per_s": ips * voxels_per_batch}, it,
+            )
+
+        if it % cfg_t.save_model_period == 0:
+            path = ckpt.save_checkpoint(run_folder, state)
+            status.info(f"saved checkpoint {path}")
+
+        if dataset_validation is not None and it % cfg_t.val_period == 0:
+            state = run_validation(
+                cfg, gan, state, dataset_validation, tb, run_folder, it
+            )
+
+    if int(state.it) != start_it:
+        ckpt.save_checkpoint(run_folder, state)
+    tb.close()
+    return state
+
+
+def run_validation(cfg, gan: WindFieldGAN, state, dataset_validation, tb,
+                   run_folder, it):
+    """Full validation sweep: averaged losses/metrics + figures + field dump
+    (reference train.py:176-336)."""
+    status = logging.getLogger("status")
+    rng_np = np.random.default_rng(cfg.env.fixed_seed + it)
+    batch_size = cfg.dataset_val.batch_size if cfg.dataset_val else 1
+
+    sums, count = {}, 0
+    last_batch = None
+    for bi, (lr_b, hr_b, z_b) in enumerate(
+        dataset_validation.batches(batch_size, rng_np, shuffle=False,
+                                   drop_remainder=False)
+    ):
+        metrics, new_bs = gan.val_step(
+            state, lr_b, hr_b, z_b, jax.random.fold_in(state.rng, bi)
+        )
+        # reference quirk: validation D forwards update BN running stats
+        state = state.replace(batch_stats_D=new_bs)
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        count += 1
+        last_batch = (lr_b, hr_b, z_b)
+
+    if count == 0:
+        return state
+    avgs = {k: v / count for k, v in sums.items()}
+    tb.add_scalars(
+        "G_loss/validation",
+        {k.replace("G_val_", ""): v for k, v in avgs.items()
+         if k.startswith("G_val_")},
+        it,
+    )
+    tb.add_scalars("D_loss/", {"validation_loss": avgs["D_val_loss"]}, it)
+    tb.add_scalars(
+        "metrics/PSNR",
+        {k: v for k, v in avgs.items() if "PSNR" in k}, it,
+    )
+    tb.add_scalars(
+        "metrics/pix",
+        {k: v for k, v in avgs.items() if "pix" in k}, it,
+    )
+    status.info(
+        f"validation it {it}: PSNR {avgs['val_PSNR']:.3f} "
+        f"(trilinear {avgs['Trilinear_PSNR']:.3f}) "
+        f"G_total {avgs['G_val_total']:.5f}"
+    )
+
+    # field dumps + figures from one random sample (train.py:205-336)
+    lr_b, hr_b, z_b = last_batch
+    uvw_max = dataset_validation.stats.uvw_max
+    i = int(np.random.default_rng(it).integers(0, lr_b.shape[0]))
+    sr = np.asarray(gan.generate(state.params_G, lr_b[i : i + 1], z_b[i : i + 1]))[0]
+    tl = np.asarray(
+        upsample_trilinear_xy(lr_b[i : i + 1, ..., :3], cfg.scale)
+    )[0]
+    imgs = {
+        "HR": np.moveaxis(hr_b[i] * uvw_max, -1, 0),
+        "SR": np.moveaxis(sr * uvw_max, -1, 0),
+        "BC": np.moveaxis(tl * uvw_max, -1, 0),
+        "LR": np.moveaxis(lr_b[i, ..., :3] * uvw_max, -1, 0),
+    }
+    with open(os.path.join(run_folder, "images", f"val_imgs__it_{it}.pkl"),
+              "wb") as f:
+        pickle.dump(imgs, f)
+
+    if cfg.use_tensorboard_logger:
+        z_idx = min(3, hr_b.shape[3] - 1)
+        comp = 0
+        hr_c, sr_c, tl_c = (imgs["HR"][comp], imgs["SR"][comp], imgs["BC"][comp])
+        lr_c = imgs["LR"][comp]
+        sr_err = float(np.mean(np.abs(hr_c[:, :, z_idx] - sr_c[:, :, z_idx])))
+        tl_err = float(np.mean(np.abs(hr_c[:, :, z_idx] - tl_c[:, :, z_idx])))
+        tb.add_figure(
+            f"im/{it}/wind_fields/u_field_z_index{z_idx}",
+            create_comparison_figure(z_idx, lr_c, hr_c, sr_c, tl_c), it,
+        )
+        tb.add_figure(
+            f"im/{it}/Error/u_field_z_index{z_idx}",
+            create_error_figure(z_idx, hr_c, sr_c, tl_c, sr_err, tl_err), it,
+        )
+    return state

@@ -1,0 +1,106 @@
+"""Checkpoint round-trip (bit-exact resume) and end-to-end train-loop smoke
+test on synthetic data — the analogue of the reference's 10-iteration local
+smoke config (SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gan_sr_wind_field_tpu.config import Config
+from gan_sr_wind_field_tpu.data import preprocess
+from gan_sr_wind_field_tpu.train import checkpoint as ckpt
+from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+from gan_sr_wind_field_tpu.train.loop import train
+from gan_sr_wind_field_tpu.utils.logging import setup_loggers
+
+from test_train_step import make_batch, tiny_cfg
+
+
+class TestCheckpoint:
+    def test_roundtrip_bit_exact(self, tmp_path, rng):
+        cfg = tiny_cfg()
+        x = np.arange(16, dtype=np.float32) * 150
+        gan = WindFieldGAN(cfg, x, x)
+        state = gan.init_state(
+            jax.random.key(0), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        lr, hr, z = make_batch(rng)
+        for _ in range(3):
+            state, _ = gan.train_step(state, lr, hr, z)
+
+        path = ckpt.save_checkpoint(str(tmp_path), state)
+        assert os.path.exists(path)
+        assert ckpt.latest_checkpoint(str(tmp_path)) == path
+
+        fresh = gan.init_state(
+            jax.random.key(99), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        restored = ckpt.restore_checkpoint(path, fresh)
+        assert int(restored.it) == 3
+
+        # training continues identically from the restored state
+        s_a = jax.tree.map(jnp.copy, state)
+        s_b = restored
+        for _ in range(2):
+            s_a, m_a = gan.train_step(s_a, lr, hr, z)
+            s_b, m_b = gan.train_step(s_b, lr, hr, z)
+        np.testing.assert_array_equal(
+            np.asarray(m_a["total"]), np.asarray(m_b["total"])
+        )
+        for a, b in zip(jax.tree.leaves(s_a.params_G), jax.tree.leaves(s_b.params_G)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestTrainLoopSmoke:
+    def test_ten_iterations_synthetic(self, tmp_path):
+        cfg = Config()
+        cfg.scale = 4
+        cfg.compute_dtype = "float32"
+        cfg.use_tensorboard_logger = False
+        cfg.env.data_root = str(tmp_path / "data")
+        cfg.env.this_runs_folder = str(tmp_path / "run")
+        cfg.env.this_runs_tensorboard_log_folder = str(tmp_path / "run" / "tb")
+        cfg.gan_config.include_pressure = False
+        cfg.gan_config.include_z_channel = True
+        cfg.gan_config.number_of_z_layers = 4
+        cfg.gan_config.enable_slicing = True
+        cfg.gan_config.slice_size = 16
+        cfg.gan_config.interpolate_z = False
+        g = cfg.generator
+        g.num_features = 8
+        g.num_RRDB = 1
+        g.num_RDB_convs = 2
+        g.RDB_growth_chan = 4
+        g.hr_kern_size = 3
+        g.terrain_number_of_features = 4
+        cfg.discriminator.num_features = 4
+        t = cfg.training
+        t.niter = 10
+        t.val_period = 5
+        t.log_period = 2
+        t.save_model_period = 10
+        t.d_g_train_period = 2
+        t.d_g_train_ratio = 1
+        cfg.dataset_train.batch_size = 2
+        cfg.dataset_val.batch_size = 2
+
+        setup_loggers(str(tmp_path / "log"), also_log_to_terminal=False)
+        ds_train, _, ds_val, x, y = preprocess(
+            cfg, synthetic=True, synthetic_hours=12
+        )
+        # shrink z: synthetic cache honours number_of_z_layers already
+        state = train(cfg, ds_train, ds_val, x, y)
+        assert int(state.it) == 10
+        # checkpoint written at it=10
+        assert ckpt.latest_checkpoint(cfg.env.this_runs_folder) is not None
+        # val images dumped at it 5 and 10
+        imgs = os.listdir(os.path.join(cfg.env.this_runs_folder, "images"))
+        assert any("val_imgs__it_5" in n for n in imgs)
+        # events stream exists
+        assert os.path.exists(
+            os.path.join(cfg.env.this_runs_tensorboard_log_folder, "events.jsonl")
+        )

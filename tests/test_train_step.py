@@ -1,0 +1,227 @@
+"""Train-core tests: schedules, G/D alternation, optimizer semantics,
+NaN guard, validation metrics — all on a tiny model/volume so the jitted
+step compiles fast on the CPU test mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gan_sr_wind_field_tpu.config import Config
+from gan_sr_wind_field_tpu.train.gan import GANTrainState, WindFieldGAN, bce_with_logits
+from gan_sr_wind_field_tpu.train.schedule import label_values, multistep_lr
+from gan_sr_wind_field_tpu.train import tricks
+
+
+def tiny_cfg(**overrides):
+    cfg = Config()
+    cfg.scale = 4
+    cfg.compute_dtype = "float32"
+    cfg.gan_config.include_pressure = False
+    cfg.gan_config.include_z_channel = True
+    cfg.gan_config.number_of_z_layers = 4
+    cfg.gan_config.enable_slicing = True
+    cfg.gan_config.slice_size = 16
+    g = cfg.generator
+    g.num_features = 8
+    g.num_RRDB = 1
+    g.num_RDB_convs = 2
+    g.RDB_growth_chan = 4
+    g.hr_kern_size = 3
+    g.terrain_number_of_features = 4
+    g.dropout_probability = 0.1
+    d = cfg.discriminator
+    d.num_features = 4
+    t = cfg.training
+    t.niter = 100
+    t.d_g_train_period = 2
+    t.d_g_train_ratio = 1
+    t.learning_rate_g = 1e-3
+    t.learning_rate_d = 1e-3
+    t.multistep_lr_steps = [10, 20]
+    t.use_instance_noise = True
+    t.use_one_sided_label_smoothing = True
+    t.adversarial_loss_weight = 5e-4
+    t.gradient_z_loss_weight = 0.1
+    for k, v in overrides.items():
+        setattr(t, k, v)
+    return cfg
+
+
+def make_batch(rng, n=2, size=16, zl=4, scale=4, smooth=False):
+    if smooth:
+        # learnable low-frequency target (random voxel noise has an
+        # irreducible L1 floor — useless for optimisation tests)
+        xx = np.linspace(0, 2 * np.pi, size)
+        grid = np.add.outer(xx, 0.5 * xx)[None, :, :, None, None]
+        phases = rng.uniform(0, 6.28, (n, 1, 1, 1, 3))
+        zz = np.linspace(0, 1, zl)[None, None, None, :, None]
+        hr = (0.5 * np.sin(grid + phases) * (0.5 + zz)).astype(np.float32)
+    else:
+        hr = rng.standard_normal((n, size, size, zl, 3)).astype(np.float32) * 0.3
+    lr = np.concatenate(
+        [hr[:, ::scale, ::scale], rng.random((n, size // scale, size // scale, zl, 1)).astype(np.float32)],
+        axis=-1,
+    )
+    z = np.cumsum(1.0 + rng.random((n, size, size, zl, 1)).astype(np.float32), axis=3) * 10
+    return jnp.asarray(lr), jnp.asarray(hr), jnp.asarray(z)
+
+
+@pytest.fixture(scope="module")
+def _gan_and_state0():
+    cfg = tiny_cfg()
+    x = np.arange(16, dtype=np.float32) * 150
+    y = np.arange(16, dtype=np.float32) * 150
+    gan = WindFieldGAN(cfg, x, y)
+    state = gan.init_state(jax.random.key(0), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3))
+    return gan, state
+
+
+@pytest.fixture
+def gan_and_state(_gan_and_state0):
+    # train_step donates its input state; give every test a fresh copy
+    gan, state0 = _gan_and_state0
+    return gan, jax.tree.map(jnp.copy, state0)
+
+
+class TestSchedules:
+    def test_multistep_lr_torch_semantics(self):
+        # period=50 → offset 101; milestones in scheduler-step counts
+        fn = multistep_lr(8e-5, [10, 30], 0.5, d_g_train_period=2)
+        # counter = max(0, it-5); decay after counter >= milestone
+        assert float(fn(jnp.int32(1))) == pytest.approx(8e-5)
+        assert float(fn(jnp.int32(14))) == pytest.approx(8e-5)  # counter 9
+        assert float(fn(jnp.int32(15))) == pytest.approx(4e-5)  # counter 10
+        assert float(fn(jnp.int32(35))) == pytest.approx(2e-5)  # counter 30
+
+    def test_label_ramp(self):
+        real, fake, pr, pf = label_values(jnp.int32(0), 100.0, True, False)
+        assert float(real) == pytest.approx(0.9)
+        real, _, _, _ = label_values(jnp.int32(100), 100.0, True, False)
+        assert float(real) == pytest.approx(1.0)
+        real, fake, pr, pf = label_values(jnp.int32(0), 100.0, False, False)
+        assert float(real) == 1.0 and float(fake) == 0.0
+
+    def test_instance_noise_anneal(self):
+        k = jax.random.key(0)
+        n1 = tricks.instance_noise(k, 1.0, (1000,), jnp.float32(1), 100.0)
+        n_end = tricks.instance_noise(k, 1.0, (1000,), jnp.float32(101), 100.0)
+        assert float(jnp.max(n1)) <= 1.0  # U[0,1)*sqrt(var<=1)
+        assert float(jnp.max(jnp.abs(n_end))) < 1e-3
+
+    def test_bce_matches_torch(self):
+        import torch
+
+        logits = np.array([-2.0, 0.5, 3.0], np.float32)
+        targets = np.array([0.0, 0.9, 1.0], np.float32)
+        got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
+        ref = torch.nn.BCEWithLogitsLoss()(
+            torch.from_numpy(logits), torch.from_numpy(targets)
+        ).item()
+        assert got == pytest.approx(ref, rel=1e-4)
+
+
+class TestTrainStep:
+    def test_alternation_pattern(self, gan_and_state, rng):
+        gan, state = gan_and_state
+        lr, hr, z = make_batch(rng)
+        # period=2, ratio=1: G on its 1, 4, 5, 8, 9...; D on 2, 3, 6, 7...
+        expected = []
+        for it in range(1, 9):
+            expected.append(1.0 if (it // 2) % 2 == 0 else 0.0)
+        got = []
+        for _ in range(8):
+            state, m = gan.train_step(state, lr, hr, z)
+            got.append(float(m["is_g_step"]))
+        assert got == expected
+
+    def test_g_step_updates_g_only(self, gan_and_state, rng):
+        gan, state = gan_and_state
+        lr, hr, z = make_batch(rng)
+        # snapshot before stepping: the input state is donated
+        g_before = np.asarray(jax.tree.leaves(state.params_G)[0])
+        d_before = np.asarray(jax.tree.leaves(state.params_D)[0])
+        s1, m = gan.train_step(state, lr, hr, z)  # it=1 → G step
+        assert float(m["is_g_step"]) == 1.0
+        g_changed = not np.allclose(
+            np.asarray(jax.tree.leaves(s1.params_G)[0]), g_before
+        )
+        d_same = np.allclose(
+            np.asarray(jax.tree.leaves(s1.params_D)[0]), d_before
+        )
+        assert g_changed and d_same
+        assert int(s1.it) == 1
+        assert np.isfinite(float(m["total"]))
+
+    def test_d_step_updates_d_and_stats(self, gan_and_state, rng):
+        gan, state = gan_and_state
+        lr, hr, z = make_batch(rng)
+        s1, _ = gan.train_step(state, lr, hr, z)  # it=1 G
+        d_before = np.asarray(jax.tree.leaves(s1.params_D)[0])
+        bs_before = np.asarray(jax.tree.leaves(s1.batch_stats_D)[0])
+        s2, m2 = gan.train_step(s1, lr, hr, z)  # it=2 D
+        assert float(m2["is_g_step"]) == 0.0
+        d_changed = not np.allclose(
+            np.asarray(jax.tree.leaves(s2.params_D)[0]), d_before
+        )
+        bs_changed = not np.allclose(
+            np.asarray(jax.tree.leaves(s2.batch_stats_D)[0]), bs_before
+        )
+        assert d_changed and bs_changed
+        assert np.isfinite(float(m2["D_train_loss"]))
+
+    def test_nan_guard_skips_g_update(self, gan_and_state, rng):
+        gan, state = gan_and_state
+        lr, hr, z = make_batch(rng)
+        hr_bad = hr.at[0, 0, 0, 0, 0].set(jnp.nan)
+        before = [np.asarray(a) for a in jax.tree.leaves(state.params_G)]
+        s1, m = gan.train_step(state, lr, hr_bad, z)
+        # pixel loss goes NaN -> total NaN -> whole update skipped
+        for a, b in zip(jax.tree.leaves(s1.params_G), before):
+            np.testing.assert_array_equal(np.asarray(a), b)
+
+    def test_loss_decreases_generator_only(self, rng):
+        cfg = tiny_cfg(d_g_train_ratio=0, adversarial_loss_weight=0.0,
+                       use_instance_noise=False, pixel_loss_weight=1.0,
+                       gradient_xy_loss_weight=0.0, gradient_z_loss_weight=0.0,
+                       divergence_loss_weight=0.0,
+                       xy_divergence_loss_weight=0.0,
+                       learning_rate_g=3e-3)
+        cfg.generator.dropout_probability = 0.0
+        x = np.arange(16, dtype=np.float32) * 150
+        gan = WindFieldGAN(cfg, x, x)
+        state = gan.init_state(jax.random.key(1), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3))
+        lr, hr, z = make_batch(rng, smooth=True)
+        losses = []
+        for _ in range(50):
+            state, m = gan.train_step(state, lr, hr, z)
+            losses.append(float(m["total"]))
+        assert losses[-1] < losses[0] * 0.7
+
+    def test_device_side_augmentation_path(self, gan_and_state, rng):
+        gan, state = gan_and_state
+        lr, hr, z = make_batch(rng)
+        s1, m = gan.train_step(state, lr, hr, z, augment=True)
+        assert np.isfinite(float(m["total"])) or float(m["is_g_step"]) == 0.0
+
+
+class TestValStep:
+    def test_metrics(self, gan_and_state, rng):
+        gan, state = gan_and_state
+        lr, hr, z = make_batch(rng)
+        metrics, new_bs = gan.val_step(state, lr, hr, z, jax.random.key(9))
+        for k in ("val_PSNR", "Trilinear_PSNR", "G_val_total", "D_val_loss",
+                  "trilinear_pix_loss", "pix_loss_unscaled"):
+            assert k in metrics
+            assert np.isfinite(float(metrics[k])), k
+        # random init: SR should be no better than ~trilinear+20dB sanity band
+        assert 0.0 < float(metrics["Trilinear_PSNR"]) < 60.0
+        assert jax.tree.structure(new_bs) == jax.tree.structure(state.batch_stats_D)
+
+    def test_val_deterministic_given_rng(self, gan_and_state, rng):
+        gan, state = gan_and_state
+        lr, hr, z = make_batch(rng)
+        m1, _ = gan.val_step(state, lr, hr, z, jax.random.key(3))
+        m2, _ = gan.val_step(state, lr, hr, z, jax.random.key(3))
+        assert float(m1["G_val_total"]) == float(m2["G_val_total"])
