@@ -134,6 +134,8 @@ class GeneratorConfig:
     terrain_number_of_features: int = 16
     dropout_probability: float = 0.0
     max_norm: float = 1.0
+    # TPU addition: rematerialise RRDBs in backward (memory/FLOP trade)
+    use_remat: bool = True
 
 
 @dataclass
@@ -368,6 +370,7 @@ class Config:
                 gen, "dropout_probability", float, G.dropout_probability
             )
             G.max_norm = _get(gen, "max_norm", float, G.max_norm)
+            G.use_remat = _get(gen, "use_remat", bool, G.use_remat)
 
         disc = section("DISCRIMINATOR")
         if disc is not None:

@@ -52,6 +52,9 @@ class Generator3D(nn.Module):
     dropout_probability: float = 0.0
     init_scale: float = 0.1  # weight_init_scale (cfg generator.weight_init_scale)
     dtype: Optional[Any] = None  # compute dtype, e.g. jnp.bfloat16
+    # rematerialise each RRDB in the backward pass: trades ~30% more FLOPs for
+    # ~25× less activation memory in the trunk — the standard TPU HBM lever
+    remat: bool = False
 
     @nn.compact
     def __call__(self, lr, z_terrain, train: bool = True, rng_key=None):
@@ -70,8 +73,9 @@ class Generator3D(nn.Module):
         )(x)
 
         trunk = x
+        rrdb_cls = nn.remat(RRDB) if self.remat else RRDB
         for i in range(self.num_rrdb):
-            trunk = RRDB(
+            trunk = rrdb_cls(
                 growth_channels=self.rdb_growth_channels,
                 num_convs=self.num_rdb_convs,
                 lff_kern_size=self.lff_kern_size,

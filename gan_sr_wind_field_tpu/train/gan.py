@@ -106,6 +106,7 @@ class WindFieldGAN:
             dropout_probability=cfg.generator.dropout_probability,
             init_scale=cfg.generator.weight_init_scale,
             dtype=dtype,
+            remat=cfg.generator.use_remat,
         )
         self.D = Discriminator3D(
             in_channels=cfg.discriminator.in_num_ch,

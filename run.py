@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""CLI entry point.
+
+Counterpart of reference run.py:29-315: parses mode flags + config path,
+creates run folders, seeds, snapshots the resolved config, prepares data, and
+dispatches to train / test / use / download / param_search.
+
+TPU additions: `--synthetic` trains on analytic wind fields (no network),
+`--profile` captures a jax.profiler trace of the first iterations, and the
+device mesh comes from [PARALLEL] in the config instead of gpu_id.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+
+def argv_to_cfg(argv=None):
+    p = argparse.ArgumentParser(description="TPU wind-field super-resolution GAN")
+    p.add_argument("--cfg", default="configs/local.ini", help="config INI path")
+    p.add_argument("--train", action="store_true")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--use", action="store_true")
+    p.add_argument("--download", action="store_true")
+    p.add_argument("--param_search", action="store_true")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use analytic synthetic data instead of downloading")
+    p.add_argument("--profile", action="store_true",
+                   help="trace the first train iterations with jax.profiler")
+    p.add_argument("--slurm_array_id", type=int, default=1)
+    p.add_argument("--loglevel", default="info")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="override: stop after this many iterations")
+    args = p.parse_args(argv)
+
+    from gan_sr_wind_field_tpu.config import Config
+
+    cfg = Config.from_ini(args.cfg)
+    cfg.is_train = args.train or args.param_search
+    cfg.is_test = args.test
+    cfg.is_use = args.use
+    cfg.is_download = args.download
+    cfg.is_param_search = args.param_search
+    cfg.slurm_array_id = args.slurm_array_id
+    return cfg, args
+
+
+def setup_env_and_cfg(cfg):
+    """Derive per-run folders (reference run.py:197-220) and snapshot the
+    resolved config (run.py:279-288)."""
+    root = os.path.expanduser(cfg.env.root_path)
+    stamp = time.strftime("%Y-%m-%dT%H-%M-%S")
+    run_name = f"{cfg.name}_{stamp}"
+    cfg.env.this_runs_folder = os.path.join(
+        root + cfg.env.runs_subpath, run_name
+    )
+    cfg.env.this_runs_tensorboard_log_folder = os.path.join(
+        root + cfg.env.tensorboard_subpath, run_name
+    )
+    log_dir = root + cfg.env.log_subpath
+    os.makedirs(cfg.env.this_runs_folder, exist_ok=True)
+    os.makedirs(cfg.env.this_runs_tensorboard_log_folder, exist_ok=True)
+    os.makedirs(log_dir, exist_ok=True)
+    cfg.save(os.path.join(cfg.env.this_runs_folder, "config.ini"))
+    return log_dir
+
+
+def main(argv=None):
+    cfg, args = argv_to_cfg(argv)
+    log_dir = setup_env_and_cfg(cfg)
+
+    from gan_sr_wind_field_tpu.utils.logging import setup_loggers
+
+    level = getattr(logging, args.loglevel.upper(), logging.INFO)
+    status, _ = setup_loggers(
+        log_dir, also_log_to_terminal=cfg.also_log_to_terminal, level=level
+    )
+    status.info(f"run folder: {cfg.env.this_runs_folder}")
+
+    import jax
+
+    status.info(f"jax devices: {jax.devices()}")
+
+    from gan_sr_wind_field_tpu.data import preprocess
+
+    if cfg.is_download:
+        from datetime import date
+
+        from gan_sr_wind_field_tpu.data.downloader import download_dataset
+
+        download_dataset(
+            cfg.env.data_root,
+            date(*cfg.gan_config.start_date),
+            date(*cfg.gan_config.end_date),
+            number_of_z_layers=cfg.gan_config.number_of_z_layers,
+        )
+        status.info("download finished")
+        if not (cfg.is_train or cfg.is_test or cfg.is_use):
+            return
+
+    ds_train, ds_test, ds_val, x, y = preprocess(cfg, synthetic=args.synthetic)
+    status.info(
+        f"datasets: train {len(ds_train)} / test {len(ds_test)} / "
+        f"val {len(ds_val)}"
+    )
+
+    if cfg.is_param_search:
+        from gan_sr_wind_field_tpu.search.driver import param_search
+
+        param_search(cfg, ds_train, ds_val, x, y)
+        return
+
+    if cfg.is_train:
+        from gan_sr_wind_field_tpu.parallel import batch_sharding, make_mesh
+        from gan_sr_wind_field_tpu.train.loop import train
+
+        mesh = None
+        data_sh = None
+        if len(jax.devices()) > 1:
+            mesh = make_mesh(
+                cfg.parallel.data_parallel, cfg.parallel.tensor_parallel
+            )
+            data_sh = batch_sharding(mesh)
+            status.info(f"mesh: {mesh}")
+        train(
+            cfg, ds_train, ds_val, x, y,
+            mesh=mesh, data_sharding=data_sh,
+            profile_dir=(
+                cfg.env.this_runs_tensorboard_log_folder if args.profile else None
+            ),
+            max_steps=args.max_steps,
+        )
+        return
+
+    if cfg.is_test:
+        from gan_sr_wind_field_tpu.eval.test_loop import run_test
+
+        run_test(cfg, ds_test, x, y)
+        return
+
+    if cfg.is_use:
+        from gan_sr_wind_field_tpu.eval.test_loop import run_use
+        from gan_sr_wind_field_tpu.train import checkpoint as ckpt
+        from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+
+        gan = WindFieldGAN(cfg, x, y)
+        import numpy as np
+
+        probe = ds_test.get(0, np.random.default_rng(0))
+        example = gan.init_state(
+            jax.random.key(0), (1,) + probe[0].shape, (1,) + probe[1].shape
+        )
+        path = cfg.env.generator_load_path
+        state = ckpt.restore_checkpoint(path, example) if path else example
+        run_use(cfg, ds_test, x, y, state=state)
+        return
+
+    print("nothing to do: pass --train, --test, --use, --download, "
+          "or --param_search", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,7 +9,7 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# this image's sitecustomize registers a TPU-tunnel backend and force-sets
+# jax_platforms at interpreter boot; override it back to the CPU test mesh
+jax.config.update("jax_platforms", "cpu")
 
 # XLA-CPU compile times dominate the suite; persist compiled programs across
 # test runs so only genuinely new computations pay the cost.
