@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Headline benchmark: GAN train-step throughput (HR voxels/sec/chip).
+
+Replicates the reference's cluster training workload
+(config/wind_field_GAN_3D_config_cluster.ini: 4x upscale, 64×64×10 HR
+patches, batch 32, full RRDB generator + discriminator, physics losses,
+relativistic-average GAN, instance noise) as the jitted TPU train step and
+measures steady-state throughput across a full G-block/D-block alternation
+cycle.
+
+Baseline (BASELINE.md): the reference pins a 3-day A100 walltime budget for
+niter=150 000 at this exact workload → 0.579 it/s → 758 000 HR-voxels/s.
+``vs_baseline`` is measured/758k.
+
+Prints ONE JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_VOXELS_PER_SEC = 150_000 / (3 * 24 * 3600) * 32 * 64 * 64 * 10
+
+
+def build(batch_size: int):
+    import jax
+
+    from gan_sr_wind_field_tpu.config import Config
+    from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+
+    cfg = Config()
+    cfg.scale = 4
+    cfg.compute_dtype = "bfloat16"
+    cfg.gan_config.include_pressure = False
+    cfg.gan_config.include_z_channel = True
+    cfg.gan_config.number_of_z_layers = 10
+    cfg.gan_config.enable_slicing = True
+    cfg.gan_config.slice_size = 64
+    g = cfg.generator
+    g.num_features = 128
+    g.num_RRDB = 16
+    g.num_RDB_convs = 5
+    g.RDB_growth_chan = 32
+    g.hr_kern_size = 5
+    g.lff_kern_size = 1
+    g.terrain_number_of_features = 16
+    g.dropout_probability = 0.1
+    g.use_remat = True
+    cfg.discriminator.num_features = 32
+    t = cfg.training
+    t.niter = 150000
+    t.d_g_train_period = 50
+    t.d_g_train_ratio = 1
+    t.use_instance_noise = True
+    t.use_one_sided_label_smoothing = True
+    t.gradient_xy_loss_weight = 3.064
+    t.gradient_z_loss_weight = 0.0
+    t.xy_divergence_loss_weight = 0.721
+    t.divergence_loss_weight = 0.366
+    t.pixel_loss_weight = 0.136
+    t.adversarial_loss_weight = 0.0005
+
+    size, zl = 64, 10
+    x = np.arange(size, dtype=np.float32) * 150.0
+    gan = WindFieldGAN(cfg, x, x)
+
+    rng = np.random.default_rng(0)
+    lr_shape = (batch_size, size // 4, size // 4, zl, 4)
+    hr_shape = (batch_size, size, size, zl, 3)
+    state = gan.init_state(jax.random.key(0), lr_shape, hr_shape)
+    lr = jax.device_put(rng.standard_normal(lr_shape).astype(np.float32) * 0.1)
+    hr = jax.device_put(rng.standard_normal(hr_shape).astype(np.float32) * 0.1)
+    z = jax.device_put(
+        (np.cumsum(1.0 + rng.random((batch_size, size, size, zl, 1)), axis=3)
+         * 10.0).astype(np.float32)
+    )
+    return gan, state, lr, hr, z
+
+
+def main():
+    import jax
+
+    batch_size = 32
+    while True:
+        try:
+            gan, state, lr, hr, z = build(batch_size)
+            # warmup/compile: cross a G/D boundary so both branches run
+            for _ in range(3):
+                state, m = gan.train_step(state, lr, hr, z, augment=True)
+            jax.block_until_ready(m["total"])
+            break
+        except Exception as e:  # OOM → halve the batch
+            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                batch_size //= 2
+                if batch_size < 1:
+                    raise
+                print(f"# OOM, retrying with batch {batch_size}",
+                      file=sys.stderr)
+            else:
+                raise
+
+    # time G-block and D-block iterations separately (costs differ a lot),
+    # then blend 1:1 like the training schedule (d_g_train_ratio=1 → half
+    # the iterations are G steps, half are D steps)
+    def timed_block(start_it, n_steps):
+        nonlocal state
+        state = state.replace(it=jnp.int32(start_it))
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            state, m = gan.train_step(state, lr, hr, z, augment=True)
+        jax.block_until_ready(m["total"])
+        return (time.perf_counter() - t0) / n_steps
+
+    import jax.numpy as jnp
+
+    t_g = timed_block(0, 15)  # its 1..15: all G
+    t_d = timed_block(50, 15)  # its 51..65: all D
+    per_pair = t_g + t_d
+
+    voxels = batch_size * 64 * 64 * 10
+    vps = 2 * voxels / per_pair
+    print(json.dumps({
+        "metric": "train_step_voxels_per_sec_per_chip",
+        "value": round(vps, 1),
+        "unit": "HR voxels/s",
+        "vs_baseline": round(vps / BASELINE_VOXELS_PER_SEC, 2),
+        "detail": {
+            "batch": batch_size,
+            "g_step_ms": round(t_g * 1e3, 2),
+            "d_step_ms": round(t_d * 1e3, 2),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

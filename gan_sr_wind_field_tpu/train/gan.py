@@ -138,11 +138,18 @@ class WindFieldGAN:
         self.feature_D_update_period = t.feature_D_update_period
         self.w_adv = t.adversarial_loss_weight
         self.w_feat = t.feature_D_loss_weight
-        self.w_pix = t.pixel_loss_weight
-        self.w_gxy = t.gradient_xy_loss_weight
-        self.w_gz = t.gradient_z_loss_weight
-        self.w_div = t.divergence_loss_weight
-        self.w_xydiv = t.xy_divergence_loss_weight
+        # the 5 searchable loss weights are TRACED (passed through the jitted
+        # step) so hyperparameter-sweep trials share one compiled program —
+        # the reference recompiles nothing but pays a full Ray trial spin-up
+        # per sample (param_search.py:390-421); here a new trial is just a
+        # new scalar vector
+        self.default_weights = {
+            "pix": jnp.float32(t.pixel_loss_weight),
+            "gxy": jnp.float32(t.gradient_xy_loss_weight),
+            "gz": jnp.float32(t.gradient_z_loss_weight),
+            "div": jnp.float32(t.divergence_loss_weight),
+            "xydiv": jnp.float32(t.xy_divergence_loss_weight),
+        }
         # D is only ever exercised when the adversarial signal matters
         self.use_adv = (self.w_adv != 0.0) or (t.d_g_train_ratio > 0)
 
@@ -260,8 +267,13 @@ class WindFieldGAN:
         return xin + tricks.instance_noise(key, sigma, xin.shape, it, self.niter)
 
     # -------------------------------------------------------------- G losses
-    def _g_losses(self, params_G, state, lr, hr, z, it, keys, train: bool):
-        """Weighted G losses. Returns (total, dict, fake_HR)."""
+    def _g_losses(self, params_G, state, lr, hr, z, it, keys, train: bool,
+                  w=None):
+        """Weighted G losses. Returns (total, dict, fake_HR).
+
+        ``w``: traced dict of the 5 searchable loss weights (pix, gxy, gz,
+        div, xydiv); defaults to the config values."""
+        w = w or self.default_weights
         fake = self.G.apply(
             {"params": params_G}, lr, z, train=train, rng_key=keys["g_dropout"]
         )
@@ -319,9 +331,9 @@ class WindFieldGAN:
             )
 
         if self.pixel_criterion == "l1":
-            losses["pix"] = jnp.mean(jnp.abs(hr3 - fake)) * self.w_pix
+            losses["pix"] = jnp.mean(jnp.abs(hr3 - fake)) * w["pix"]
         elif self.pixel_criterion == "l2":
-            losses["pix"] = jnp.mean((hr3 - fake) ** 2) * self.w_pix
+            losses["pix"] = jnp.mean((hr3 - fake) ** 2) * w["pix"]
 
         hr_grad = wind_field_gradient(hr3, self.x, self.y, z)
         sr_grad = wind_field_gradient(fake, self.x, self.y, z)
@@ -329,25 +341,25 @@ class WindFieldGAN:
 
         losses["xy_gradient"] = (
             jnp.mean((sr_grad[..., :6] / f_xy - hr_grad[..., :6] / f_xy) ** 2)
-            * self.w_gxy
+            * w["gxy"]
         )
         losses["z_gradient"] = (
             jnp.mean((sr_grad[..., 6:] / f_z - hr_grad[..., 6:] / f_z) ** 2)
-            * self.w_gz
+            * w["gz"]
         )
         losses["divergence"] = (
             jnp.mean(
                 (divergence_3d(hr_grad) / f_div - divergence_3d(sr_grad) / f_div)
                 ** 2
             )
-            * self.w_div
+            * w["div"]
         )
         losses["xy_divergence"] = (
             jnp.mean(
                 (divergence_xy(hr_grad) / f_xydiv
                  - divergence_xy(sr_grad) / f_xydiv) ** 2
             )
-            * self.w_xydiv
+            * w["xydiv"]
         )
 
         physics = (
@@ -401,10 +413,10 @@ class WindFieldGAN:
         ks = jax.random.split(rng, len(names))
         return dict(zip(names, ks))
 
-    def _g_branch(self, state, lr, hr, z, it, keys):
+    def _g_branch(self, state, lr, hr, z, it, keys, w):
         grad_fn = jax.value_and_grad(self._g_losses, has_aux=True)
         (loss, (losses, _fake)), grads = grad_fn(
-            state.params_G, state, lr, hr, z, it, keys, True
+            state.params_G, state, lr, hr, z, it, keys, True, w
         )
         finite = jnp.isfinite(loss)
         updates, new_opt = self.opt_G.update(
@@ -431,7 +443,7 @@ class WindFieldGAN:
             state.batch_stats_D, metrics,
         )
 
-    def _d_branch(self, state, lr, hr, z, it, keys):
+    def _d_branch(self, state, lr, hr, z, it, keys, w):
         fake = self.G.apply(
             {"params": state.params_G}, lr, z, train=False
         )  # G eval, no dropout (reference :590-592)
@@ -456,7 +468,8 @@ class WindFieldGAN:
         )
 
     def _train_step(self, state: GANTrainState, lr, hr, z,
-                    augment: bool = False):
+                    weights=None, augment: bool = False):
+        w = weights or self.default_weights
         it = state.it + 1
         keys = self._split_keys(state.rng)
         if augment:
@@ -472,7 +485,7 @@ class WindFieldGAN:
             state = state.replace(params_D_frozen=params_D_frozen)
 
         if self.d_g_train_ratio == 0:
-            outs = self._g_branch(state, lr, hr, z, it, keys)
+            outs = self._g_branch(state, lr, hr, z, it, keys, w)
         else:
             train_period = it // self.d_g_train_period
             is_g = (train_period % (self.d_g_train_ratio + 1)) == 0
@@ -480,7 +493,7 @@ class WindFieldGAN:
                 is_g,
                 lambda op: self._g_branch(*op),
                 lambda op: self._d_branch(*op),
-                (state, lr, hr, z, it, keys),
+                (state, lr, hr, z, it, keys, w),
             )
         params_G, opt_G, params_D, opt_D, bs_D, metrics = outs
         new_state = GANTrainState(
@@ -496,11 +509,13 @@ class WindFieldGAN:
         metrics["lr_G"] = self.lr_G(it)
         return new_state, metrics
 
-    def train_step(self, state, lr, hr, z, augment: bool = False):
-        return self._jit_train_step(state, lr, hr, z, augment=augment)
+    def train_step(self, state, lr, hr, z, augment: bool = False,
+                   weights=None):
+        return self._jit_train_step(state, lr, hr, z, weights,
+                                    augment=augment)
 
     # ------------------------------------------------------------- val step
-    def _val_step(self, state: GANTrainState, lr, hr, z, rng):
+    def _val_step(self, state: GANTrainState, lr, hr, z, rng, weights=None):
         """Validation losses + metrics (reference validation path :594-618).
 
         Returns (metrics dict, new_batch_stats): the reference's D train-mode
@@ -513,8 +528,9 @@ class WindFieldGAN:
         keys = self._split_keys(rng)
         hr3 = hr[..., :3]
 
+        w = weights or self.default_weights
         _, (losses, fake) = self._g_losses(
-            state.params_G, state, lr, hr, z, it, keys, train=False
+            state.params_G, state, lr, hr, z, it, keys, train=False, w=w
         )
         metrics = {f"G_val_{k}": v for k, v in losses.items()}
 
@@ -540,12 +556,13 @@ class WindFieldGAN:
         else:
             tl_pix = jnp.mean(jnp.abs(hr3 - trilinear))
         metrics["trilinear_pix_loss"] = tl_pix
-        metrics["pix_loss_unscaled"] = (
-            losses["pix"] / self.w_pix if self.w_pix else losses["pix"]
+        metrics["pix_loss_unscaled"] = jnp.where(
+            w["pix"] != 0.0, losses["pix"] / jnp.maximum(w["pix"], 1e-30),
+            losses["pix"],
         )
         return metrics, new_bs
 
-    def val_step(self, state, lr, hr, z, rng=None):
+    def val_step(self, state, lr, hr, z, rng=None, weights=None):
         if rng is None:
             rng = state.rng
-        return self._jit_val_step(state, lr, hr, z, rng)
+        return self._jit_val_step(state, lr, hr, z, rng, weights)
