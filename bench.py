@@ -24,7 +24,7 @@ import numpy as np
 BASELINE_VOXELS_PER_SEC = 150_000 / (3 * 24 * 3600) * 32 * 64 * 64 * 10
 
 
-def build(batch_size: int):
+def build(batch_size: int, use_remat: bool = True):
     import jax
 
     from gan_sr_wind_field_tpu.config import Config
@@ -47,7 +47,7 @@ def build(batch_size: int):
     g.lff_kern_size = 1
     g.terrain_number_of_features = 16
     g.dropout_probability = 0.1
-    g.use_remat = True
+    g.use_remat = use_remat
     cfg.discriminator.num_features = 32
     t = cfg.training
     t.niter = 150000

@@ -59,6 +59,13 @@ def train(cfg, dataset_train, dataset_validation, x, y,
 
     gan = WindFieldGAN(cfg, x, y, mesh=mesh)
 
+    # consolidate the pickle cache into a zero-copy memmap (data/npcache.py)
+    # — the host must assemble batches faster than the device steps
+    try:
+        dataset_train.use_npcache()
+    except Exception as e:  # fall back to per-sample pickles
+        status.info(f"npcache unavailable ({e}); using pickle loads")
+
     # device-side augmentation replaces host-side (same semantics, on-TPU)
     augment_on_device = bool(
         dataset_train.data_aug_rot or dataset_train.data_aug_flip
