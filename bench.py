@@ -24,7 +24,9 @@ import numpy as np
 BASELINE_VOXELS_PER_SEC = 150_000 / (3 * 24 * 3600) * 32 * 64 * 64 * 10
 
 
-def build(batch_size: int, use_remat: bool = True):
+def build(batch_size: int, use_remat: bool = False):
+    # measured on v5e: batch 32 fits HBM without remat; remat costs +18% G-step
+    # time (758→623 ms without). Larger volumes/batches should re-enable it.
     import jax
 
     from gan_sr_wind_field_tpu.config import Config

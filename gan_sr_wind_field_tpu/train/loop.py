@@ -104,6 +104,15 @@ def train(cfg, dataset_train, dataset_validation, x, y,
     )
     prefetched = prefetch_to_device(batch_iter, sharding=data_sharding)
 
+    bar = None
+    if cfg.display_bar:
+        from gan_sr_wind_field_tpu.utils.progress import DisplayBar
+
+        bar = DisplayBar(
+            max_value=max(len(dataset_train) // max(batch_size, 1), 1),
+            start_it=it, niter=niter,
+        )
+
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
@@ -111,6 +120,9 @@ def train(cfg, dataset_train, dataset_validation, x, y,
         if it >= niter:
             break
         it += 1
+        if bar is not None:
+            bar.update(it % max(len(dataset_train) // max(batch_size, 1), 1),
+                       it * batch_size // max(len(dataset_train), 1), it)
         state, metrics = gan.train_step(
             state, lr_b, hr_b, z_b, augment=augment_on_device
         )

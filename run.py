@@ -109,9 +109,17 @@ def main(argv=None):
     )
 
     if cfg.is_param_search:
+        import os as _os
+
         from gan_sr_wind_field_tpu.search.driver import param_search
 
-        param_search(cfg, ds_train, ds_val, x, y)
+        param_search(
+            cfg, ds_train, ds_val, x, y,
+            shard_index=cfg.slurm_array_id % max(
+                int(_os.environ.get("N_SHARDS", "1")), 1
+            ),
+            num_shards=max(int(_os.environ.get("N_SHARDS", "1")), 1),
+        )
         return
 
     if cfg.is_train:
