@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Dtype = Any
@@ -51,11 +52,78 @@ def _pad_triple(p) -> Sequence[Tuple[int, int]]:
     return [(p[0], p[0]), (p[1], p[1]), (p[2], p[2])]
 
 
+class HorizontalConv3D(nn.Module):
+    """Per-z-window conv with UNSHARED weights across height.
+
+    The reference's experimental ``horizontal_3D`` mode keeps a separate
+    Conv3d per vertical window and loops z slices in Python
+    (torch_blocks.py:49-155) — z·(number of kernel launches) per layer. Here
+    the windows are gathered once and ALL windows run as one vmapped 2D
+    convolution batch with a (W, kh, kw, kz, Cin, Cout) weight tensor — a
+    single XLA conv feeding the MXU.
+
+    Output z-extent = (Zin − kz + 2·pad_z)//stride_z + 1, one layer per
+    window, like the reference's ``forward_horizontal_convs``.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+    strides: Union[int, Tuple[int, int, int]] = 1
+    padding: Union[int, Tuple[int, int, int]] = None  # None → SAME-ish like ref
+    use_bias: bool = False
+    init_scale: float = 1.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw, kz = _triple(self.kernel_size)
+        sh, sw, sz = _triple(self.strides)
+        if self.padding is None:
+            ph = pw = (kh - 1) // 2
+            pz = (kz - 1) // 2  # vertical_padding default (torch_blocks.py:107)
+        else:
+            ph, pw, pz = _triple(self.padding)
+        zin = x.shape[3]
+        n_windows = (zin - kz + 2 * pz) // sz + 1
+
+        kernel = self.param(
+            "kernel",
+            kaiming_scaled(self.init_scale),
+            (n_windows, kh, kw, kz, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        cdt = self.dtype or x.dtype
+        x = x.astype(cdt)
+        kernel = kernel.astype(cdt)
+
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pz, pz), (0, 0)))
+        # windows: (W, N, X, Y, kz, Cin) → fold kz into channels
+        idx = jnp.arange(n_windows) * sz
+        wins = jax.vmap(
+            lambda z0: jax.lax.dynamic_slice_in_dim(xp, z0, kz, axis=3)
+        )(idx)
+        W, N, X, Y = wins.shape[:4]
+        wins = wins.reshape(W, N, X, Y, kz * x.shape[-1])
+        kern2d = kernel.reshape(n_windows, kh, kw, kz * x.shape[-1],
+                                self.features)
+
+        def conv_one(xw, kw_):
+            return jax.lax.conv_general_dilated(
+                xw, kw_, window_strides=(sh, sw),
+                padding=[(ph, ph), (pw, pw)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        out = jax.vmap(conv_one)(wins, kern2d)  # (W, N, X', Y', Cout)
+        return jnp.moveaxis(out, 0, 3)  # (N, X', Y', W, Cout)
+
+
 class ConvLReLU(nn.Module):
     """Conv3D (+BatchNorm/InstanceNorm) (+LeakyReLU), CNA order.
 
     Mirrors the reference conv factory (torch_blocks.py:5-37): bias-free conv,
-    optional norm, optional slope-0.2 LeakyReLU.
+    optional norm, optional slope-0.2 LeakyReLU. ``conv_mode='horizontal_3D'``
+    swaps in the per-z-window unshared-weight conv.
     """
 
     features: int
@@ -68,19 +136,34 @@ class ConvLReLU(nn.Module):
     use_bias: bool = False
     init_scale: float = 1.0
     dtype: Optional[Dtype] = None  # compute dtype (bf16); params stay f32
+    conv_mode: str = "3D"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(
-            features=self.features,
-            kernel_size=_triple(self.kernel_size),
-            strides=_triple(self.strides),
-            padding=_pad_triple(self.padding),
-            use_bias=self.use_bias,
-            kernel_init=kaiming_scaled(self.init_scale),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        if self.conv_mode == "horizontal_3D":
+            k = _triple(self.kernel_size)
+            p = _triple(self.padding)
+            x = HorizontalConv3D(
+                features=self.features,
+                kernel_size=k,
+                strides=self.strides,
+                padding=(p[0], p[1], p[2]),
+                use_bias=self.use_bias,
+                init_scale=self.init_scale,
+                dtype=self.dtype,
+                name="hconv",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=_triple(self.kernel_size),
+                strides=_triple(self.strides),
+                padding=_pad_triple(self.padding),
+                use_bias=self.use_bias,
+                kernel_init=kaiming_scaled(self.init_scale),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         if self.norm == "batch":
             # torch BatchNorm3d defaults: momentum 0.1 (flax: 0.9), eps 1e-5.
             # Under jit-with-sharding the batch stats are global across the
@@ -123,6 +206,7 @@ class RDB(nn.Module):
     negative_slope: float = 0.2
     init_scale: float = 1.0
     dtype: Optional[Dtype] = None
+    conv_mode: str = "3D"
 
     @nn.compact
     def __call__(self, x):
@@ -137,6 +221,7 @@ class RDB(nn.Module):
                 negative_slope=self.negative_slope,
                 init_scale=self.init_scale,
                 dtype=self.dtype,
+                conv_mode=self.conv_mode,
                 name=f"conv{i}",
             )(feats)
             feats = jnp.concatenate([feats, out], axis=-1)
@@ -167,6 +252,7 @@ class RRDB(nn.Module):
     negative_slope: float = 0.2
     init_scale: float = 1.0
     dtype: Optional[Dtype] = None
+    conv_mode: str = "3D"
 
     @nn.compact
     def __call__(self, x):
@@ -180,6 +266,7 @@ class RRDB(nn.Module):
                 negative_slope=self.negative_slope,
                 init_scale=self.init_scale,
                 dtype=self.dtype,
+                conv_mode=self.conv_mode,
                 name=f"RDB{i}",
             )(out)
         return out * self.rrdb_residual_scaling + x
@@ -201,6 +288,7 @@ class DiscriminatorBlock(nn.Module):
     negative_slope: float = 0.2
     init_scale: float = 1.0
     dtype: Optional[Dtype] = None
+    conv_mode: str = "3D"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -214,6 +302,7 @@ class DiscriminatorBlock(nn.Module):
             negative_slope=self.negative_slope,
             init_scale=self.init_scale,
             dtype=self.dtype,
+            conv_mode=self.conv_mode,
             name="conv",
         )(x, train=train)
         stride = (2, 2, 2) if self.halve_z else (2, 2, 1)
@@ -226,6 +315,7 @@ class DiscriminatorBlock(nn.Module):
             negative_slope=self.negative_slope,
             init_scale=self.init_scale,
             dtype=self.dtype,
+            conv_mode=self.conv_mode,
             name="strided_conv",
         )(x, train=train)
         return x

@@ -51,6 +51,7 @@ class Discriminator3D(nn.Module):
     dropout_probability: float = 0.2
     init_scale: float = 0.2
     dtype: Optional[Any] = None
+    conv_mode: str = "3D"
 
     @nn.compact
     def __call__(self, x, train: bool = True, rng_key=None, features_only=False):
@@ -80,6 +81,7 @@ class Discriminator3D(nn.Module):
                 negative_slope=self.negative_slope,
                 init_scale=self.init_scale,
                 dtype=self.dtype,
+                conv_mode=self.conv_mode,
                 name=f"block{i}",
             )(x, train=train)
 
@@ -94,6 +96,7 @@ class Discriminator3D(nn.Module):
                 negative_slope=self.negative_slope,
                 init_scale=self.init_scale,
                 dtype=self.dtype,
+                conv_mode=self.conv_mode,
                 name="head_conv0",
             )(x, train=train)
             x = ConvLReLU(
@@ -105,6 +108,7 @@ class Discriminator3D(nn.Module):
                 negative_slope=self.negative_slope,
                 init_scale=self.init_scale,
                 dtype=self.dtype,
+                conv_mode=self.conv_mode,
                 name="head_conv1",
             )(x, train=train)
 

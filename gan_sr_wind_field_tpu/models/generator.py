@@ -55,6 +55,9 @@ class Generator3D(nn.Module):
     # rematerialise each RRDB in the backward pass: trades ~30% more FLOPs for
     # ~25× less activation memory in the trunk — the standard TPU HBM lever
     remat: bool = False
+    # '3D' (shared-weight Conv3D) or 'horizontal_3D' (per-z-window unshared
+    # weights, reference torch_blocks.py:49-155)
+    conv_mode: str = "3D"
 
     @nn.compact
     def __call__(self, lr, z_terrain, train: bool = True, rng_key=None):
@@ -69,6 +72,7 @@ class Generator3D(nn.Module):
             lrelu=False,
             init_scale=self.init_scale,
             dtype=self.dtype,
+            conv_mode=self.conv_mode,
             name="feature_conv",
         )(x)
 
@@ -84,6 +88,7 @@ class Generator3D(nn.Module):
                 negative_slope=self.negative_slope,
                 init_scale=self.init_scale,
                 dtype=self.dtype,
+                conv_mode=self.conv_mode,
                 name=f"RRDB{i}",
             )(trunk)
         trunk = ConvLReLU(
@@ -93,6 +98,7 @@ class Generator3D(nn.Module):
             lrelu=False,  # reference lr_conv has no activation
             init_scale=self.init_scale,
             dtype=self.dtype,
+            conv_mode=self.conv_mode,
             name="lr_conv",
         )(trunk)
         x = x + trunk  # SkipConnectionBlock (torch_blocks.py:40-46)
@@ -108,6 +114,7 @@ class Generator3D(nn.Module):
                 negative_slope=self.negative_slope,
                 init_scale=self.init_scale,
                 dtype=self.dtype,
+                conv_mode=self.conv_mode,
                 name=f"upconv{i}",
             )(x)
 
@@ -120,6 +127,7 @@ class Generator3D(nn.Module):
             negative_slope=self.negative_slope,
             init_scale=self.init_scale,
             dtype=self.dtype,
+            conv_mode=self.conv_mode,
             name="terrain_conv0",
         )(t)
         t = ConvLReLU(
@@ -129,6 +137,7 @@ class Generator3D(nn.Module):
             lrelu=False,
             init_scale=self.init_scale,
             dtype=self.dtype,
+            conv_mode=self.conv_mode,
             name="terrain_conv1",
         )(t)
 
@@ -143,6 +152,7 @@ class Generator3D(nn.Module):
             negative_slope=self.negative_slope,
             init_scale=self.init_scale,
             dtype=self.dtype,
+            conv_mode=self.conv_mode,
             name="hr_conv0",
         )(x)
         # channel dropout (torch Dropout3d): broadcast over spatial dims
@@ -151,14 +161,26 @@ class Generator3D(nn.Module):
             broadcast_dims=(1, 2, 3),
             deterministic=not train or self.dropout_probability == 0.0,
         )(x, rng=rng_key)
-        x = nn.Conv(
-            features=self.out_channels,
-            kernel_size=_triple(self.hr_kern_size),
-            padding=_pad_triple(hr_pad),
-            use_bias=True,  # final conv keeps torch's default bias
-            kernel_init=kaiming_scaled(self.init_scale),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="hr_conv1",
-        )(x)
+        if self.conv_mode == "horizontal_3D":
+            from gan_sr_wind_field_tpu.models.blocks import HorizontalConv3D
+
+            x = HorizontalConv3D(
+                features=self.out_channels,
+                kernel_size=self.hr_kern_size,
+                padding=(hr_pad, hr_pad, hr_pad),
+                init_scale=self.init_scale,
+                dtype=self.dtype,
+                name="hr_conv1",
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.out_channels,
+                kernel_size=_triple(self.hr_kern_size),
+                padding=_pad_triple(hr_pad),
+                use_bias=True,  # final conv keeps torch's default bias
+                kernel_init=kaiming_scaled(self.init_scale),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="hr_conv1",
+            )(x)
         return x.astype(jnp.float32)
