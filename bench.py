@@ -103,22 +103,29 @@ def main():
             else:
                 raise
 
-    # time G-block and D-block iterations separately (costs differ a lot),
-    # then blend 1:1 like the training schedule (d_g_train_ratio=1 → half
-    # the iterations are G steps, half are D steps)
-    def timed_block(start_it, n_steps):
+    import jax.numpy as jnp
+
+    # Timing methodology: the steps are chained through the donated state
+    # (hard data dependency) and the run is fenced by fetching a SCALAR metric
+    # to host — `block_until_ready` alone is not a reliable fence on remote
+    # runtimes. N-vs-2N differencing cancels dispatch/fetch latency.
+    def run_block(start_it, n_steps):
         nonlocal state
         state = state.replace(it=jnp.int32(start_it))
         t0 = time.perf_counter()
         for _ in range(n_steps):
             state, m = gan.train_step(state, lr, hr, z, augment=True)
-        jax.block_until_ready(m["total"])
-        return (time.perf_counter() - t0) / n_steps
+        _ = float(m["total"])  # scalar fence
+        return time.perf_counter() - t0
 
-    import jax.numpy as jnp
+    def timed_block(start_it, n_small=6, n_big=18):
+        run_block(start_it, 2)  # warm
+        t_small = run_block(start_it, n_small)
+        t_big = run_block(start_it, n_big)
+        return (t_big - t_small) / (n_big - n_small)
 
-    t_g = timed_block(0, 15)  # its 1..15: all G
-    t_d = timed_block(50, 15)  # its 51..65: all D
+    t_g = timed_block(0)  # its 1..18: all G (period 50)
+    t_d = timed_block(50)  # its 51..68: all D
     per_pair = t_g + t_d
 
     voxels = batch_size * 64 * 64 * 10
