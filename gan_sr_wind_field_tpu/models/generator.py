@@ -58,6 +58,11 @@ class Generator3D(nn.Module):
     # '3D' (shared-weight Conv3D) or 'horizontal_3D' (per-z-window unshared
     # weights, reference torch_blocks.py:49-155)
     conv_mode: str = "3D"
+    # compute hr_conv0 as conv(x)+conv(t) instead of conv(concat(x,t)):
+    # identical math (convolution is linear in input channels) but skips
+    # materialising the 144-channel concat at HR resolution — profiled at
+    # ~30% of the forward pass on v5e (a pure layout/copy fusion)
+    split_hr_concat: bool = True
 
     @nn.compact
     def __call__(self, lr, z_terrain, train: bool = True, rng_key=None):
@@ -141,20 +146,35 @@ class Generator3D(nn.Module):
             name="terrain_conv1",
         )(t)
 
-        x = jnp.concatenate([x, t], axis=-1)
-
         hr_pad = (self.hr_kern_size - 1) // 2
-        x = ConvLReLU(
-            features=self.num_features + self.terrain_features,
-            kernel_size=self.hr_kern_size,
-            padding=hr_pad,
-            lrelu=True,
-            negative_slope=self.negative_slope,
-            init_scale=self.init_scale,
-            dtype=self.dtype,
-            conv_mode=self.conv_mode,
-            name="hr_conv0",
-        )(x)
+        hr_feats = self.num_features + self.terrain_features
+        if self.split_hr_concat and self.conv_mode == "3D":
+            conv_kw = dict(
+                features=hr_feats,
+                kernel_size=_triple(self.hr_kern_size),
+                padding=_pad_triple(hr_pad),
+                use_bias=False,
+                kernel_init=kaiming_scaled(self.init_scale),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )
+            x = nn.Conv(**conv_kw, name="hr_conv0_x")(x) + nn.Conv(
+                **conv_kw, name="hr_conv0_t"
+            )(t)
+            x = nn.leaky_relu(x, negative_slope=self.negative_slope)
+        else:
+            x = jnp.concatenate([x, t], axis=-1)
+            x = ConvLReLU(
+                features=hr_feats,
+                kernel_size=self.hr_kern_size,
+                padding=hr_pad,
+                lrelu=True,
+                negative_slope=self.negative_slope,
+                init_scale=self.init_scale,
+                dtype=self.dtype,
+                conv_mode=self.conv_mode,
+                name="hr_conv0",
+            )(x)
         # channel dropout (torch Dropout3d): broadcast over spatial dims
         x = nn.Dropout(
             rate=self.dropout_probability,
