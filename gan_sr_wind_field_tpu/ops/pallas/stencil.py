@@ -2,21 +2,25 @@
 
 One VMEM-resident pass computes ∂(u,v,w)/∂x, ∂y, ∂z for a whole sample —
 the pure-XLA path (ops/physics.py) materialises the shifted operand slices
-and the three gradient tensors through HBM. A 64×64×10×3 f32 sample plus its
-z grid and the 9-channel output is ~2.2 MB, comfortably inside one core's
-VMEM, so the kernel grids over the batch only.
+and the three gradient tensors through HBM.
 
-The nonuniform central difference is expressed as a per-position 3-term
-form  f'ᵢ = Aᵢ·f_{i+1} + Bᵢ·fᵢ + Cᵢ·f_{i-1}  with clamped edge neighbours;
-the (A, B, C) coefficient vectors for the x/y axes are precomputed host-side
-from the physical coordinates (boundary rows fold the one-sided difference
-into A/B with C=0, and symmetrically at the top). The z coefficients are
-per-voxel (terrain-following grid) and are computed inside the kernel from
-the geopotential height block.
+Layout is chosen for the TPU tile model: the (N, X, Y, Zl, 3) field is
+transposed host-side to ``(N, Zl·C, X, Y)`` so that
+- Y rides the 128-lane axis (64 → one half-tile, no 42× channel padding),
+- X rides the 8-sublane axis → x-shifts are native sublane slices,
+- z-shifts are leading-dim row shifts by C (untiled axis, free),
+and the per-axis nonuniform-difference coefficients arrive as
+broadcast-ready (1, X, 1)/(1, 1, Y) blocks (no lane↔sublane reshapes
+in-kernel — Mosaic layout rule).
 
-Numerics match ops/physics.py bit-for-bit-ish (same f32 formulas, tested in
-interpret mode and on device). Used for the forward/metric paths; training
-keeps the XLA implementation because its VJP is free.
+The nonuniform central difference is the 3-term form
+f'ᵢ = Aᵢ·f_{i+1} + Bᵢ·fᵢ + Cᵢ·f_{i-1} with clamped edge neighbours; edge
+rows fold the one-sided difference into A/B. z coefficients are per-voxel
+(terrain-following grid), computed in-kernel from the height block.
+
+Numerics match ops/physics.py (tested in interpret mode and on device).
+Used for forward/metric paths; training keeps the XLA implementation whose
+VJP is free.
 """
 
 from __future__ import annotations
@@ -26,7 +30,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 
 def _axis_coeffs(coords: jnp.ndarray):
@@ -52,55 +55,54 @@ def _axis_coeffs(coords: jnp.ndarray):
     return A, B, C
 
 
-def _shift_up(f, axis):
-    """f_{i+1} with clamped top edge."""
+def _shift(f, axis, up: bool):
+    """Neighbour along ``axis`` with clamped edges."""
     n = f.shape[axis]
-    upper = jax.lax.slice_in_dim(f, 1, n, axis=axis)
-    last = jax.lax.slice_in_dim(f, n - 1, n, axis=axis)
-    return jnp.concatenate([upper, last], axis=axis)
+    if up:  # f_{i+1}
+        body = jax.lax.slice_in_dim(f, 1, n, axis=axis)
+        edge = jax.lax.slice_in_dim(f, n - 1, n, axis=axis)
+        return jnp.concatenate([body, edge], axis=axis)
+    body = jax.lax.slice_in_dim(f, 0, n - 1, axis=axis)
+    edge = jax.lax.slice_in_dim(f, 0, 1, axis=axis)
+    return jnp.concatenate([edge, body], axis=axis)
 
 
-def _shift_dn(f, axis):
-    """f_{i-1} with clamped bottom edge."""
-    n = f.shape[axis]
-    lower = jax.lax.slice_in_dim(f, 0, n - 1, axis=axis)
-    first = jax.lax.slice_in_dim(f, 0, 1, axis=axis)
-    return jnp.concatenate([first, lower], axis=axis)
+def _shift_z(f, c: int, up: bool):
+    """z-neighbour in the (Zl·C, X, Y) layout: row shift by C, clamped."""
+    n = f.shape[0]
+    if up:
+        return jnp.concatenate([f[c:], f[n - c :]], axis=0)
+    return jnp.concatenate([f[:c], f[: n - c]], axis=0)
 
 
-def _grad_kernel(uvw_ref, z_ref, ax_ref, bx_ref, cx_ref, ay_ref, by_ref,
-                 cy_ref, out_ref):
-    f = uvw_ref[0]  # (X, Y, Zl, 3) f32
-    zg = z_ref[0]  # (X, Y, Zl, 1)
+def _grad_kernel(c: int, f_ref, z_ref, ax_ref, bx_ref, cx_ref, ay_ref,
+                 by_ref, cy_ref, out_ref):
+    f = f_ref[0]  # (Zl*C, X, Y) f32
+    zg = z_ref[0]  # (Zl, X, Y)
 
-    # ---- x gradient: coefficients broadcast along (Y, Zl, C)
-    ax = ax_ref[0][:, None, None, None]
-    bx = bx_ref[0][:, None, None, None]
-    cx = cx_ref[0][:, None, None, None]
-    gx = ax * _shift_up(f, 0) + bx * f + cx * _shift_dn(f, 0)
+    ax, bx, cx = ax_ref[...], bx_ref[...], cx_ref[...]  # (1, X, 1)
+    gx = ax * _shift(f, 1, True) + bx * f + cx * _shift(f, 1, False)
 
-    ay = ay_ref[0][None, :, None, None]
-    by = by_ref[0][None, :, None, None]
-    cy = cy_ref[0][None, :, None, None]
-    gy = ay * _shift_up(f, 1) + by * f + cy * _shift_dn(f, 1)
+    ay, by, cy = ay_ref[...], by_ref[...], cy_ref[...]  # (1, 1, Y)
+    gy = ay * _shift(f, 2, True) + by * f + cy * _shift(f, 2, False)
 
-    # ---- z gradient: per-voxel coefficients from the terrain-following grid
-    dz = zg[:, :, 1:, :] - zg[:, :, :-1, :]  # (X, Y, Zl-1, 1)
-    d_lo, d_hi = dz[:, :, :-1, :], dz[:, :, 1:, :]
+    # per-voxel z coefficients from the terrain-following grid
+    dz = zg[1:] - zg[:-1]  # (Zl-1, X, Y)
+    d_lo, d_hi = dz[:-1], dz[1:]
     denom = d_lo * d_hi * (d_lo + d_hi)
     a_in = d_lo**2 / denom
     b_in = (d_hi**2 - d_lo**2) / denom
     c_in = -(d_hi**2) / denom
+    zeros1 = jnp.zeros_like(dz[:1])
+    inv_bot, inv_top = 1.0 / dz[:1], 1.0 / dz[-1:]
+    az = jnp.concatenate([inv_bot, a_in, zeros1], axis=0)  # (Zl, X, Y)
+    bz = jnp.concatenate([-inv_bot, b_in, inv_top], axis=0)
+    cz = jnp.concatenate([zeros1, c_in, -inv_top], axis=0)
+    # replicate per wind component: flatten order is (z major, c minor)
+    az, bz, cz = (jnp.repeat(v, c, axis=0) for v in (az, bz, cz))
+    gz = az * _shift_z(f, c, True) + bz * f + cz * _shift_z(f, c, False)
 
-    zeros1 = jnp.zeros_like(dz[:, :, :1, :])
-    inv_bot = 1.0 / dz[:, :, :1, :]
-    inv_top = 1.0 / dz[:, :, -1:, :]
-    az = jnp.concatenate([inv_bot, a_in, zeros1], axis=2)
-    bz = jnp.concatenate([-inv_bot, b_in, inv_top], axis=2)
-    cz = jnp.concatenate([zeros1, c_in, -inv_top], axis=2)
-    gz = az * _shift_up(f, 2) + bz * f + cz * _shift_dn(f, 2)
-
-    out_ref[0] = jnp.concatenate([gx, gy, gz], axis=-1)
+    out_ref[0] = jnp.concatenate([gx, gy, gz], axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -108,26 +110,34 @@ def wind_field_gradient_pallas(uvw, x, y, Z, interpret: bool = False):
     """Fused equivalent of ops.physics.wind_field_gradient.
 
     uvw: (N, X, Y, Zl, 3); x: (X,); y: (Y,); Z: (N, X, Y, Zl, 1).
-    Returns (N, X, Y, Zl, 9) float32.
+    Returns (N, X, Y, Zl, 9) float32, channels [∂/∂x, ∂/∂y, ∂/∂z]×(u,v,w).
     """
     uvw = uvw.astype(jnp.float32)
-    Z = Z.astype(jnp.float32)
     n, X, Y, Zl, C = uvw.shape
+    # (N, X, Y, Zl, C) → (N, Zl·C, X, Y)
+    f = jnp.transpose(uvw, (0, 3, 4, 1, 2)).reshape(n, Zl * C, X, Y)
+    zg = jnp.transpose(Z.astype(jnp.float32)[..., 0], (0, 3, 1, 2))
+
     ax, bx, cx = _axis_coeffs(jnp.asarray(x))
     ay, by, cy = _axis_coeffs(jnp.asarray(y))
-    # 2D (1, n) VMEM blocks — 1D ANY-space refs are not loadable on TPU
-    ax, bx, cx, ay, by, cy = (v[None, :] for v in (ax, bx, cx, ay, by, cy))
+    ax, bx, cx = (v[None, :, None] for v in (ax, bx, cx))
+    ay, by, cy = (v[None, None, :] for v in (ay, by, cy))
 
-    vec = lambda v: pl.BlockSpec((1, v.shape[1]), lambda i: (0, 0))
-    return pl.pallas_call(
-        _grad_kernel,
+    vec = lambda v: pl.BlockSpec(v.shape, lambda i: (0, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(_grad_kernel, C),
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, X, Y, Zl, C), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, X, Y, Zl, 1), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, Zl * C, X, Y), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, Zl, X, Y), lambda i: (i, 0, 0, 0)),
             vec(ax), vec(bx), vec(cx), vec(ay), vec(by), vec(cy),
         ],
-        out_specs=pl.BlockSpec((1, X, Y, Zl, 3 * C), lambda i: (i, 0, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, X, Y, Zl, 3 * C), jnp.float32),
+        out_specs=pl.BlockSpec((1, 3 * Zl * C, X, Y), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, 3 * Zl * C, X, Y), jnp.float32),
         interpret=interpret,
-    )(uvw, Z, ax, bx, cx, ay, by, cy)
+    )(f, zg, ax, bx, cx, ay, by, cy)
+
+    # (N, 3, Zl, C, X, Y) → (N, X, Y, Zl, 3·C)
+    out = out.reshape(n, 3, Zl, C, X, Y)
+    out = jnp.transpose(out, (0, 4, 5, 2, 1, 3)).reshape(n, X, Y, Zl, 3 * C)
+    return out

@@ -40,19 +40,25 @@ def run_variant(name):
 
     for _ in range(3):
         state, m = gan.train_step(state, lr, hr, z, augment=augment)
-    jax.block_until_ready(m["total"])
+    float(m["total"])  # scalar fence (block_until_ready is unreliable remote)
 
-    def timed(start_it, n):
+    def run_block(start_it, n):
         nonlocal state
         state = state.replace(it=jnp.int32(start_it))
         t0 = time.perf_counter()
         for _ in range(n):
             state, m = gan.train_step(state, lr, hr, z, augment=augment)
-        jax.block_until_ready(m["total"])
-        return (time.perf_counter() - t0) / n
+        float(m["total"])
+        return time.perf_counter() - t0
 
-    t_g = timed(0, 10)
-    t_d = timed(50, 10)
+    def timed(start_it, n_small=5, n_big=15):
+        run_block(start_it, 2)
+        return (run_block(start_it, n_big) - run_block(start_it, n_small)) / (
+            n_big - n_small
+        )
+
+    t_g = timed(0)
+    t_d = timed(50)
     voxels = batch_size * 64 * 64 * 10
     vps = 2 * voxels / (t_g + t_d)
     print(f"{name}: g={t_g*1e3:.1f}ms d={t_d*1e3:.1f}ms "
