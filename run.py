@@ -83,6 +83,22 @@ def main(argv=None):
 
     import jax
 
+    # multi-host TPU pods: initialise the distributed runtime when the TPU
+    # environment advertises multiple processes (no-op on a single host)
+    if os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0 or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+            status.info(
+                f"jax.distributed: process {jax.process_index()}"
+                f"/{jax.process_count()}"
+            )
+        except Exception as e:
+            status.warning(f"jax.distributed.initialize failed: {e}")
+
+    if os.environ.get("WINDSR_DEBUG_NANS"):
+        jax.config.update("jax_debug_nans", True)
+
     status.info(f"jax devices: {jax.devices()}")
 
     from gan_sr_wind_field_tpu.data import preprocess
