@@ -83,6 +83,11 @@ def main(argv=None):
 
     import jax
 
+    # explicit platform override (e.g. WINDSR_PLATFORM=cpu for CI) — this
+    # image's sitecustomize force-selects the TPU tunnel backend otherwise
+    if os.environ.get("WINDSR_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["WINDSR_PLATFORM"])
+
     # multi-host TPU pods: initialise the distributed runtime when the TPU
     # environment advertises multiple processes (no-op on a single host)
     if os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") > 0 or \
@@ -144,10 +149,21 @@ def main(argv=None):
 
         mesh = None
         data_sh = None
+        batch = cfg.dataset_train.batch_size if cfg.dataset_train else 1
         if len(jax.devices()) > 1:
             mesh = make_mesh(
                 cfg.parallel.data_parallel, cfg.parallel.tensor_parallel
             )
+            if batch % mesh.shape["data"] != 0:
+                # shrink the data axis to the largest divisor of the batch
+                dp = mesh.shape["data"]
+                while batch % dp:
+                    dp -= 1
+                status.warning(
+                    f"batch {batch} not divisible by data axis "
+                    f"{mesh.shape['data']}; using data={dp}"
+                )
+                mesh = make_mesh(dp, cfg.parallel.tensor_parallel)
             data_sh = batch_sharding(mesh)
             status.info(f"mesh: {mesh}")
         train(
