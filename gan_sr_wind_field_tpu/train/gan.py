@@ -216,7 +216,10 @@ class WindFieldGAN:
             params_G=params_G,
             params_D=params_D,
             batch_stats_D=batch_stats_D,
-            params_D_frozen=params_D if self.use_feature_D else {},
+            # distinct buffers: the donated step may not alias params_D
+            params_D_frozen=(
+                jax.tree.map(jnp.copy, params_D) if self.use_feature_D else {}
+            ),
             opt_state_G=self.opt_G.init(params_G),
             opt_state_D=self.opt_D.init(params_D),
             it=jnp.int32(0),
