@@ -1,0 +1,66 @@
+"""Viz/analysis + progress-bar + figure tests."""
+
+import io
+import json
+import os
+
+import numpy as np
+
+from gan_sr_wind_field_tpu.utils.progress import DisplayBar
+from gan_sr_wind_field_tpu.utils.tb import MetricsWriter
+from gan_sr_wind_field_tpu.viz.analysis import (
+    patch_offset_distribution,
+    plot_metric_runs,
+    read_events,
+)
+from gan_sr_wind_field_tpu.viz.plots import (
+    create_comparison_figure,
+    create_error_figure,
+)
+
+
+def _write_events(log_dir):
+    w = MetricsWriter(str(log_dir), use_tensorboard=False)
+    for it in (2, 4, 6):
+        w.add_scalars(
+            "metrics/PSNR", {"val_PSNR": 30 + it, "Trilinear_PSNR": 33.0}, it
+        )
+    w.close()
+
+
+def test_read_events_and_plot(tmp_path):
+    _write_events(tmp_path)
+    ev = read_events(str(tmp_path))
+    assert ev["metrics/PSNR/val_PSNR"]["step"] == [2, 4, 6]
+    assert ev["metrics/PSNR/val_PSNR"]["value"][-1] == 36.0
+    out = tmp_path / "plot.png"
+    fig = plot_metric_runs(
+        [str(tmp_path)], metric="metrics/PSNR/val_PSNR",
+        baseline_metric="metrics/PSNR/Trilinear_PSNR", out_path=str(out),
+    )
+    assert out.exists() and fig is not None
+
+
+def test_patch_offset_distribution_corner_biased():
+    beta, uniform = patch_offset_distribution(n=20000, full=128, patch=64)
+    # Beta(0.25,0.25) mass concentrates at the corners vs uniform
+    corners_beta = np.mean((beta < 8) | (beta > 56))
+    corners_uni = np.mean((uniform < 8) | (uniform > 56))
+    assert corners_beta > 2 * corners_uni
+    assert beta.min() >= 0 and beta.max() <= 64
+
+
+def test_figures(rng):
+    hr = rng.standard_normal((16, 16, 4)).astype(np.float32)
+    fig1 = create_comparison_figure(1, hr[::4, ::4], hr, hr * 0.9, hr * 1.1)
+    fig2 = create_error_figure(1, hr, hr * 0.9, hr * 1.1, 0.1, 0.2)
+    assert fig1.axes and fig2.axes
+
+
+def test_display_bar_renders():
+    buf = io.StringIO()
+    bar = DisplayBar(max_value=10, niter=20, stream=buf, min_interval=0.0)
+    bar.update(1, 0, 1)
+    bar.update(5, 0, 20)
+    out = buf.getvalue()
+    assert "it 20/20" in out and "ETA" in out
