@@ -239,3 +239,31 @@ class TestDatasetAndSplit:
         b = ds_train.get(0, np.random.default_rng(42))
         for xa, xb in zip(a, b):
             np.testing.assert_array_equal(xa, xb)
+
+
+class TestInterpolateZPath:
+    def test_dataset_with_zinterp_and_cache(self, tmp_path):
+        from gan_sr_wind_field_tpu.config import Config
+
+        cfg = Config()
+        cfg.env.data_root = str(tmp_path)
+        cfg.scale = 4
+        cfg.gan_config.include_pressure = True
+        cfg.gan_config.include_z_channel = True
+        cfg.gan_config.interpolate_z = True
+        cfg.gan_config.enable_slicing = False
+        ds_train, ds_test, _, x, y = preprocess(
+            cfg, synthetic=True, synthetic_hours=16
+        )
+        lr, hr, z = ds_train.get(0, np.random.default_rng(0))
+        # after z-interp all columns share one z_above_ground grid -> the
+        # raw z (geopotential) differs only by terrain
+        assert hr.shape[-1] == 3 and lr.shape[-1] == 5
+        import os
+
+        # interp cache populated
+        assert len(os.listdir(ds_train.interp_cache_dir)) > 0
+        # test split carries the raw-grid extras
+        out = ds_test.get(0, np.random.default_rng(0))
+        assert out[4] is not None and out[5] is not None
+        assert out[4].shape == hr.shape
