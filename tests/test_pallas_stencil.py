@@ -56,3 +56,26 @@ def test_uniform_grid_linear_field_exact(rng):
     np.testing.assert_allclose(got[..., 0], 2.0, atol=1e-4)  # du/dx
     np.testing.assert_allclose(got[..., 4], 3.0, atol=1e-4)  # dv/dy
     np.testing.assert_allclose(got[..., 8], 4.0, atol=1e-4)  # dw/dz
+
+
+def test_custom_vjp_matches_xla_grad(rng):
+    from gan_sr_wind_field_tpu.ops.pallas.stencil import (
+        wind_field_gradient_fused,
+    )
+    import jax
+
+    uvw, x, y, Z = _case(rng, n=1, X=8, Y=8, Zl=6)
+    uvw_j, x_j, y_j, Z_j = map(jnp.asarray, (uvw, x, y, Z))
+    w = jnp.asarray(rng.standard_normal((1, 8, 8, 6, 9)), jnp.float32)
+
+    def loss_ref(f):
+        return jnp.sum(wind_field_gradient(f, x_j, y_j, Z_j) * w)
+
+    def loss_pal(f):
+        return jnp.sum(wind_field_gradient_fused(f, x_j, y_j, Z_j, True) * w)
+
+    g_ref = jax.grad(loss_ref)(uvw_j)
+    g_pal = jax.grad(loss_pal)(uvw_j)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), rtol=1e-4, atol=1e-5
+    )
