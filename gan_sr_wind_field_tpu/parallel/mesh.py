@@ -21,8 +21,6 @@ Everything works identically on a virtual CPU mesh
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.experimental import mesh_utils

@@ -23,8 +23,7 @@ TPU-first redesign of the reference trainer
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional
 
 import flax.struct
 import jax
