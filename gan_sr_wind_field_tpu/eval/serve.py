@@ -1,0 +1,100 @@
+"""Serving / inference API.
+
+High-level entry for production use of a trained generator:
+
+    sr = WindFieldSR.from_checkpoint(cfg, ckpt_path, x, y)
+    hr_uvw = sr.upscale(lr_field, z_terrain)            # one jitted call
+    hr_uvw = sr.upscale_tiled(lr_field, z_terrain, ...)  # arbitrary XY size
+
+The reference has no serving layer — inference is a loop inside test.py
+(test.py:106-121). `upscale_tiled` additionally handles volumes larger than
+the training patch (or than device memory) by overlap-tiling in the
+horizontal plane and blending with a separable cosine window; tile size and
+overlap are in LR pixels. Overlap should be ≳ a few receptive-field radii of
+the trunk for seam-free output (32 LR px ≈ fine in practice at 4x).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from gan_sr_wind_field_tpu.train import checkpoint as ckpt
+from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+
+
+def _cosine_window(n: int) -> np.ndarray:
+    """Raised-cosine blending profile, 1.0 in the middle."""
+    t = (np.arange(n) + 0.5) / n
+    return 0.5 - 0.5 * np.cos(2 * np.pi * t)
+
+
+class WindFieldSR:
+    def __init__(self, gan: WindFieldGAN, params_G):
+        self.gan = gan
+        self.params_G = params_G
+        self.scale = gan.cfg.scale
+
+    @classmethod
+    def from_checkpoint(cls, cfg, checkpoint_path: str, x, y,
+                        lr_shape: Optional[Tuple[int, ...]] = None):
+        """Restore a trained generator (Orbax checkpoint from train/)."""
+        gan = WindFieldGAN(cfg, x, y)
+        g = cfg.gan_config
+        if lr_shape is None:
+            patch = g.slice_size if g.enable_slicing else len(x)
+            lr_shape = (
+                1, patch // cfg.scale, patch // cfg.scale,
+                g.number_of_z_layers, cfg.lr_num_channels,
+            )
+        hr_shape = (
+            1, lr_shape[1] * cfg.scale, lr_shape[2] * cfg.scale, lr_shape[3], 3
+        )
+        example = gan.init_state(jax.random.key(0), lr_shape, hr_shape)
+        state = ckpt.restore_checkpoint(checkpoint_path, example)
+        return cls(gan, state.params_G)
+
+    def upscale(self, lr, z_terrain):
+        """lr: (x, y, zl, C) or batched; returns (X, Y, zl, 3) float32."""
+        squeeze = lr.ndim == 4
+        if squeeze:
+            lr, z_terrain = lr[None], z_terrain[None]
+        out = np.asarray(self.gan.generate(self.params_G, lr, z_terrain))
+        return out[0] if squeeze else out
+
+    def upscale_tiled(self, lr, z_terrain, tile: int = 64, overlap: int = 16):
+        """Overlap-tiled inference for arbitrary horizontal extents.
+
+        lr: (x, y, zl, C) single field; z_terrain: (x·s, y·s, zl, 1).
+        ``tile``/``overlap`` in LR pixels; interior weights use a cosine
+        window so overlapping predictions blend smoothly.
+        """
+        s = self.scale
+        X, Y = lr.shape[0], lr.shape[1]
+        if X <= tile and Y <= tile:
+            return self.upscale(lr, z_terrain)
+        step = tile - overlap
+        if step <= 0:
+            raise ValueError("overlap must be smaller than tile")
+
+        out = np.zeros((X * s, Y * s, lr.shape[2], 3), np.float32)
+        weight = np.zeros((X * s, Y * s, 1, 1), np.float32)
+        win1d = _cosine_window(tile * s)
+        win = np.outer(win1d, win1d)[:, :, None, None].astype(np.float32)
+
+        xs = sorted({min(x0, X - tile) for x0 in range(0, X, step)})
+        ys = sorted({min(y0, Y - tile) for y0 in range(0, Y, step)})
+        for x0 in xs:
+            for y0 in ys:
+                lr_t = lr[x0 : x0 + tile, y0 : y0 + tile]
+                z_t = z_terrain[
+                    x0 * s : (x0 + tile) * s, y0 * s : (y0 + tile) * s
+                ]
+                sr_t = self.upscale(lr_t, z_t)
+                sl = np.s_[x0 * s : (x0 + tile) * s,
+                           y0 * s : (y0 + tile) * s]
+                out[sl] += sr_t * win
+                weight[sl] += win
+        return out / np.maximum(weight, 1e-12)

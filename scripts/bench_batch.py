@@ -29,12 +29,14 @@ def main():
             return time.perf_counter() - t0
 
         run(2)
-        return (run(12) - run(4)) / 8
+        # return the live state: train_step donates its input, so the
+        # caller's handle is dead after this
+        return (run(12) - run(4)) / 8, state
 
     for batch, remat in ((32, False), (64, True)):
         gan, state, lr, hr, z = bench_mod.build(batch, use_remat=remat)
-        t_g = timed_pair(gan, state, lr, hr, z, 0)
-        t_d = timed_pair(gan, state, lr, hr, z, 50)
+        t_g, state = timed_pair(gan, state, lr, hr, z, 0)
+        t_d, state = timed_pair(gan, state, lr, hr, z, 50)
         vox = batch * 64 * 64 * 10
         print(f"batch={batch} remat={remat}: g={t_g*1e3:.0f}ms d={t_d*1e3:.0f}ms "
               f"blended={2*vox/(t_g+t_d)/1e6:.2f} Mvox/s "

@@ -1,0 +1,68 @@
+"""Serving API tests: checkpoint loading + tiled inference blending."""
+
+import numpy as np
+
+import jax
+
+from gan_sr_wind_field_tpu.eval.serve import WindFieldSR, _cosine_window
+from gan_sr_wind_field_tpu.train import checkpoint as ckpt
+from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+from test_train_step import tiny_cfg
+
+
+def _make_sr():
+    cfg = tiny_cfg()
+    cfg.generator.dropout_probability = 0.0
+    x = np.arange(32, dtype=np.float32) * 150
+    gan = WindFieldGAN(cfg, x, x)
+    state = gan.init_state(jax.random.key(0), (1, 4, 4, 4, 4), (1, 16, 16, 4, 3))
+    return WindFieldSR(gan, state.params_G), cfg
+
+
+def test_cosine_window_positive():
+    w = _cosine_window(16)
+    assert w.min() > 0 and w.max() <= 1.0
+
+
+def test_upscale_shapes(rng):
+    sr, cfg = _make_sr()
+    lr = rng.standard_normal((4, 4, 4, 4)).astype(np.float32)
+    zt = rng.standard_normal((16, 16, 4, 1)).astype(np.float32)
+    out = sr.upscale(lr, zt)
+    assert out.shape == (16, 16, 4, 3)
+
+
+def test_tiled_equals_direct_when_tile_covers(rng):
+    sr, _ = _make_sr()
+    lr = rng.standard_normal((4, 4, 4, 4)).astype(np.float32)
+    zt = rng.standard_normal((16, 16, 4, 1)).astype(np.float32)
+    direct = sr.upscale(lr, zt)
+    tiled = sr.upscale_tiled(lr, zt, tile=8, overlap=2)
+    np.testing.assert_allclose(tiled, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_large_volume_close_to_direct(rng):
+    sr, _ = _make_sr()
+    lr = rng.standard_normal((8, 8, 4, 4)).astype(np.float32) * 0.1
+    zt = rng.standard_normal((32, 32, 4, 1)).astype(np.float32)
+    direct = sr.upscale(lr, zt)
+    tiled = sr.upscale_tiled(lr, zt, tile=4, overlap=2)
+    assert tiled.shape == direct.shape
+    # small tiles can't match a global receptive field exactly, but blended
+    # output must stay close and seam-free
+    err = np.abs(tiled - direct)
+    assert np.median(err) < 0.25 * np.std(np.asarray(direct))
+
+
+def test_from_checkpoint(tmp_path, rng):
+    cfg = tiny_cfg()
+    x = np.arange(16, dtype=np.float32) * 150
+    gan = WindFieldGAN(cfg, x, x)
+    state = gan.init_state(jax.random.key(0), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3))
+    path = ckpt.save_checkpoint(str(tmp_path), state)
+
+    sr = WindFieldSR.from_checkpoint(cfg, path, x, x)
+    lr = rng.standard_normal((4, 4, 4, 4)).astype(np.float32)
+    zt = rng.standard_normal((16, 16, 4, 1)).astype(np.float32)
+    out = sr.upscale(lr, zt)
+    assert np.all(np.isfinite(out))
