@@ -144,4 +144,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # remote-tunnel runs can flake; one clean retry
+        print(f"# bench attempt failed ({type(e).__name__}), retrying",
+              file=sys.stderr)
+        main()

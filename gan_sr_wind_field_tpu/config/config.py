@@ -242,6 +242,9 @@ class Config:
     # TPU additions
     compute_dtype: str = "bfloat16"  # conv/matmul dtype; params & loss stay f32
     param_dtype: str = "float32"
+    # use the fused Pallas gradient stencil (ops/pallas/stencil.py, custom
+    # VJP) inside the physics losses instead of the pure-XLA path
+    use_pallas_stencil: bool = False
 
     env: EnvConfig = field(default_factory=EnvConfig)
     gan_config: GANConfig = field(default_factory=GANConfig)
@@ -296,6 +299,9 @@ class Config:
             cfg.display_bar = _get(base, "display_bar", bool, cfg.display_bar)
             cfg.compute_dtype = _get(base, "compute_dtype", str, cfg.compute_dtype)
             cfg.param_dtype = _get(base, "param_dtype", str, cfg.param_dtype)
+            cfg.use_pallas_stencil = _get(
+                base, "use_pallas_stencil", bool, cfg.use_pallas_stencil
+            )
 
         def section(name):
             return parser[name] if parser.has_section(name) else None

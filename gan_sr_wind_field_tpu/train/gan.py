@@ -23,6 +23,7 @@ TPU-first redesign of the reference trainer
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import flax.struct
@@ -151,6 +152,20 @@ class WindFieldGAN:
         }
         # D is only ever exercised when the adversarial signal matters
         self.use_adv = (self.w_adv != 0.0) or (t.d_g_train_ratio > 0)
+
+        # optional fused Pallas stencil for the physics gradients (custom
+        # VJP); interpret mode keeps it runnable on the CPU test mesh
+        if getattr(cfg, "use_pallas_stencil", False):
+            from gan_sr_wind_field_tpu.ops.pallas import (
+                wind_field_gradient_fused,
+            )
+
+            interp = jax.default_backend() == "cpu"
+            self._wind_gradient = functools.partial(
+                wind_field_gradient_fused, interpret=interp
+            )
+        else:
+            self._wind_gradient = wind_field_gradient
 
         if self.gan_type not in ("relativistic", "relativisticavg"):
             raise NotImplementedError(
@@ -337,8 +352,8 @@ class WindFieldGAN:
         elif self.pixel_criterion == "l2":
             losses["pix"] = jnp.mean((hr3 - fake) ** 2) * w["pix"]
 
-        hr_grad = wind_field_gradient(hr3, self.x, self.y, z)
-        sr_grad = wind_field_gradient(fake, self.x, self.y, z)
+        hr_grad = self._wind_gradient(hr3, self.x, self.y, z)
+        sr_grad = self._wind_gradient(fake, self.x, self.y, z)
         f_xy, f_z, f_div, f_xydiv = gradient_norm_factors(hr_grad, sr_grad)
 
         losses["xy_gradient"] = (

@@ -80,3 +80,25 @@ def test_no_instance_noise_deterministic_labels(rng):
     cfg = tiny_cfg(use_instance_noise=False, use_noisy_labels=False)
     _, ms = _run_steps(cfg, rng)
     assert np.isfinite(float(ms[0]["total"]))
+
+
+def test_pallas_stencil_training_path_matches_xla(rng):
+    # same batch, same state → identical losses whichever stencil backend
+    cfg_x = tiny_cfg(use_instance_noise=False)
+    cfg_x.generator.dropout_probability = 0.0
+    cfg_p = tiny_cfg(use_instance_noise=False)
+    cfg_p.generator.dropout_probability = 0.0
+    cfg_p.use_pallas_stencil = True
+
+    x = np.arange(16, dtype=np.float32) * 150
+    lr, hr, z = make_batch(rng)
+    outs = []
+    for cfg in (cfg_x, cfg_p):
+        gan = WindFieldGAN(cfg, x, x)
+        state = gan.init_state(
+            jax.random.key(0), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        state, m = gan.train_step(state, lr, hr, z)
+        outs.append({k: float(v) for k, v in m.items()})
+    for k in ("total", "xy_gradient", "z_gradient", "divergence"):
+        np.testing.assert_allclose(outs[0][k], outs[1][k], rtol=1e-4), k
