@@ -225,3 +225,27 @@ class TestValStep:
         m1, _ = gan.val_step(state, lr, hr, z, jax.random.key(3))
         m2, _ = gan.val_step(state, lr, hr, z, jax.random.key(3))
         assert float(m1["G_val_total"]) == float(m2["G_val_total"])
+
+
+def test_multistep_lr_matches_torch_scheduler():
+    """Replay the reference's exact scheduler protocol with real torch
+    optim/scheduler objects and compare lr(it) for every iteration."""
+    import torch
+
+    base_lr, gamma, period = 8e-5, 0.5, 50
+    milestones = [100, 300, 500]
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=base_lr)
+    sched = torch.optim.lr_scheduler.MultiStepLR(opt, milestones, gamma=gamma)
+
+    fn = multistep_lr(base_lr, milestones, gamma, d_g_train_period=period)
+
+    for it in range(1, 700):
+        # lr used when optimizing at iteration `it`
+        torch_lr = opt.param_groups[0]["lr"]
+        ours = float(fn(jnp.int32(it)))
+        assert ours == pytest.approx(torch_lr, rel=1e-6), it
+        # reference steps the scheduler after each it once it > 2*period
+        # (train.py:152)
+        if it > 2 * period:
+            sched.step()
