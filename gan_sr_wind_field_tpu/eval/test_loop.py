@@ -93,12 +93,15 @@ def run_test(cfg, dataset_test, x, y, state=None,
             raise FileNotFoundError(
                 "no checkpoint found; set env.generator_load_path"
             )
-        rng_np = np.random.default_rng(0)
-        probe = dataset_test.get(0, rng_np)
-        lr0, hr0 = probe[0], probe[1]
-        example = gan.init_state(
-            jax.random.key(0), (1,) + lr0.shape, (1,) + hr0.shape
-        )
+        # the restore example must use the TRAINING geometry (D's classifier
+        # shape depends on the training patch size; the checkpoint was saved
+        # with it) — G itself is size-agnostic and evaluates full volumes
+        g = cfg.gan_config
+        patch = g.slice_size if g.enable_slicing else len(x)
+        lr_shape = (1, patch // cfg.scale, patch // cfg.scale,
+                    g.number_of_z_layers, cfg.lr_num_channels)
+        hr_shape = (1, patch, patch, g.number_of_z_layers, 3)
+        example = gan.init_state(jax.random.key(0), lr_shape, hr_shape)
         state = ckpt.restore_checkpoint(path, example)
         status.info(f"loaded generator from {path}")
 

@@ -188,11 +188,13 @@ def main(argv=None):
         from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
 
         gan = WindFieldGAN(cfg, x, y)
-        import numpy as np
-
-        probe = ds_test.get(0, np.random.default_rng(0))
+        g = cfg.gan_config
+        patch = g.slice_size if g.enable_slicing else len(x)
         example = gan.init_state(
-            jax.random.key(0), (1,) + probe[0].shape, (1,) + probe[1].shape
+            jax.random.key(0),
+            (1, patch // cfg.scale, patch // cfg.scale,
+             g.number_of_z_layers, cfg.lr_num_channels),
+            (1, patch, patch, g.number_of_z_layers, 3),
         )
         path = cfg.env.generator_load_path
         state = ckpt.restore_checkpoint(path, example) if path else example

@@ -34,8 +34,33 @@ def test_train_cli_smoke(tmp_path):
     run_dir = os.path.join(runs, run_dirs[0])
     # resolved config snapshot + checkpoint + val images present
     assert os.path.exists(os.path.join(run_dir, "config.ini"))
-    assert any(n.startswith("ckpt_") for n in os.listdir(run_dir))
+    ckpts = [n for n in os.listdir(run_dir) if n.startswith("ckpt_")]
+    assert ckpts
     assert any(
         n.startswith("val_imgs__it_")
         for n in os.listdir(os.path.join(run_dir, "images"))
+    )
+
+    # ---- chain: evaluate the trained checkpoint through the --test CLI
+    cfg_test = cfg_src.replace(
+        f"data_root = {tmp_path}/data",
+        f"data_root = {tmp_path}/data\n"
+        f"generator_load_path = {os.path.join(run_dir, ckpts[0])}",
+        1,
+    )
+    cfg_test_path = tmp_path / "tiny_test.ini"
+    cfg_test_path.write_text(cfg_test)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"), "--test",
+         "--synthetic", "--cfg", str(cfg_test_path)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out_csv = os.path.join(str(tmp_path), "test_output",
+                           "tiny_smoke____metrics.csv")
+    assert os.path.exists(out_csv)
+    assert os.path.exists(
+        os.path.join(str(tmp_path), "test_output", "averages.csv")
     )
