@@ -81,3 +81,15 @@ def test_dp_tp_step_runs(gan, rng):
         float(m["total"])
     )
     assert int(state.it) == 3
+
+
+def test_pad_batch_to():
+    from gan_sr_wind_field_tpu.parallel.mesh import pad_batch_to
+
+    b = np.arange(5 * 2).reshape(5, 2).astype(np.float32)
+    padded, n = pad_batch_to(b, 4)
+    assert padded.shape == (8, 2) and n == 5
+    np.testing.assert_array_equal(padded[:5], b)
+    np.testing.assert_array_equal(padded[5:], np.repeat(b[:1], 3, axis=0))
+    same, n2 = pad_batch_to(b[:4], 4)
+    assert same.shape == (4, 2) and n2 == 4
