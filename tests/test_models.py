@@ -156,3 +156,20 @@ class TestDiscriminator:
         feats = d.apply(variables, x, train=False, features_only=True)
         # 64 -> /16 horizontal, z 10 -> 5 after the (1,1,2) head conv
         assert feats.shape == (1, 4, 4, 5, 4 * 8)
+
+
+def test_upscale16_shape():
+    g = _small_g(upscale=16)
+    lr = jnp.zeros((1, 2, 2, 10, 4))
+    z = jnp.zeros((1, 32, 32, 10, 1))
+    variables = g.init(jax.random.key(0), lr, z, train=False)
+    assert g.apply(variables, lr, z, train=False).shape == (1, 32, 32, 10, 3)
+
+
+def test_non_power_of_two_scale_rounds_down():
+    # reference rounds 6x down to 4x with a warning (Generator:201-206)
+    g = _small_g(upscale=6)
+    lr = jnp.zeros((1, 4, 4, 4, 4))
+    z = jnp.zeros((1, 16, 16, 4, 1))
+    variables = g.init(jax.random.key(0), lr, z, train=False)
+    assert g.apply(variables, lr, z, train=False).shape == (1, 16, 16, 4, 3)
