@@ -245,6 +245,9 @@ class Config:
     # use the fused Pallas gradient stencil (ops/pallas/stencil.py, custom
     # VJP) inside the physics losses instead of the pure-XLA path
     use_pallas_stencil: bool = False
+    # run no-grad G forwards (D train branch, validation SR, serving) through
+    # the fused Pallas RRDB-trunk kernel (ops/pallas/rdb_trunk.py)
+    use_fused_trunk: bool = False
 
     env: EnvConfig = field(default_factory=EnvConfig)
     gan_config: GANConfig = field(default_factory=GANConfig)
@@ -301,6 +304,9 @@ class Config:
             cfg.param_dtype = _get(base, "param_dtype", str, cfg.param_dtype)
             cfg.use_pallas_stencil = _get(
                 base, "use_pallas_stencil", bool, cfg.use_pallas_stencil
+            )
+            cfg.use_fused_trunk = _get(
+                base, "use_fused_trunk", bool, cfg.use_fused_trunk
             )
 
         def section(name):

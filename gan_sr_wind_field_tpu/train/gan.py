@@ -153,6 +153,14 @@ class WindFieldGAN:
         # D is only ever exercised when the adversarial signal matters
         self.use_adv = (self.w_adv != 0.0) or (t.d_g_train_ratio > 0)
 
+        # optional fused Pallas RRDB-trunk kernel for no-grad G forwards
+        # (D train branch + inference); single-device only — pallas calls
+        # are opaque to GSPMD so the DP/TP-sharded step keeps the XLA trunk
+        self.use_fused_trunk = getattr(cfg, "use_fused_trunk", False) and (
+            mesh is None or mesh.size == 1
+        )
+        self._pallas_interpret = jax.default_backend() == "cpu"
+
         # optional fused Pallas stencil for the physics gradients (custom
         # VJP); interpret mode keeps it runnable on the CPU test mesh
         if getattr(cfg, "use_pallas_stencil", False):
@@ -241,8 +249,23 @@ class WindFieldGAN:
         )
 
     # ----------------------------------------------------------------- fwd
-    def _generate(self, params_G, lr, z):
+    def _g_forward_nograd(self, params_G, lr, z):
+        """Eval-mode G forward: fused Pallas trunk when enabled/supported."""
+        if self.use_fused_trunk:
+            from gan_sr_wind_field_tpu.models.fused_apply import (
+                fused_supported,
+                generate_fused,
+            )
+
+            if fused_supported(self.G, lr.shape):
+                return generate_fused(
+                    self.G, params_G, lr, z,
+                    interpret=self._pallas_interpret,
+                )
         return self.G.apply({"params": params_G}, lr, z, train=False)
+
+    def _generate(self, params_G, lr, z):
+        return self._g_forward_nograd(params_G, lr, z)
 
     def generate(self, params_G, lr, z):
         return self._jit_generate(params_G, lr, z)
@@ -461,9 +484,9 @@ class WindFieldGAN:
         )
 
     def _d_branch(self, state, lr, hr, z, it, keys, w):
-        fake = self.G.apply(
-            {"params": state.params_G}, lr, z, train=False
-        )  # G eval, no dropout (reference :590-592)
+        # G eval, no dropout (reference :590-592); no grad flows through G
+        # here, so the fused Pallas trunk is eligible
+        fake = self._g_forward_nograd(state.params_G, lr, z)
         hr3 = hr[..., :3]
         grad_fn = jax.value_and_grad(self._d_loss, has_aux=True)
         (loss_D, (new_bs, _, _)), grads = grad_fn(
