@@ -35,6 +35,9 @@ def build(batch_size: int, use_remat: bool = False):
     cfg = Config()
     cfg.scale = 4
     cfg.compute_dtype = "bfloat16"
+    # fused Pallas RRDB trunk for the D branch's no-grad G forward
+    # (measured: G forward 390->304 ms at this geometry)
+    cfg.use_fused_trunk = True
     cfg.gan_config.include_pressure = False
     cfg.gan_config.include_z_channel = True
     cfg.gan_config.number_of_z_layers = 10

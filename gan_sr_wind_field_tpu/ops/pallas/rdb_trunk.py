@@ -7,29 +7,39 @@ pure-XLA lowering on TPU:
 
 1. **MXU lane waste** — every dense-growth conv has only ``gc=32`` output
    channels, so XLA's conv tiling fills 32 of the 128 MXU lanes (~25% MXU,
-   measured on v5e). Here each 3×3×3 conv is re-expressed as
-   ``ceil(27/4)`` matmuls of shape (R, Cin)@(Cin, 4·gc): FOUR kernel taps
-   are stacked along the output-lane axis (their weights side by side), the
-   MXU runs at full width, and each tap's partial result is scattered to its
-   spatial offset with a static row-roll + boundary mask on the VPU.
+   measured on v5e).
 2. **HBM round-trips** — XLA materialises every concat/LFF/residual through
-   HBM. Here the trunk state (R, nf), the dense growth buffer (R, 4·gc) and
-   the RRDB residual live in VMEM scratch that PERSISTS across grid steps
-   (grid = (batch, n_rdb), sequential on a TensorCore); only the per-RDB
-   weights stream from HBM, double-buffered by the pallas pipeline.
+   HBM.
 
-Layout: activations are kept 2-D as (R, C) with R = X·Y·Zl rows (z fastest)
-and channels on the 128-lane axis — no lane↔sublane reshapes in-kernel
-(Mosaic layout rule, see ops/pallas/stencil.py). A kernel tap (dx,dy,dz) is
-then a row shift by ``dx·Y·Zl + dy·Zl + dz``; rows whose source crosses an
-x/y/z boundary are zeroed by precomputed masks (one 32-lane-wide column
-block per tap, so mask application is a single aligned multiply).
+Kernel design (v2, shaped by on-device ablations):
 
-Numerics follow the XLA path: matmuls accumulate f32, LeakyReLU and the
-×0.2 residual adds are applied in the compute dtype (bf16 in training
-configs). Forward-only — used where no gradient flows through G (the D
-train branch, validation SR, serving); the G update keeps the XLA trunk
-whose VJP is free.
+- Activations stay 2-D as (R, C), R = X·Y·Zl rows (z fastest), channels on
+  the 128-lane axis — no lane↔sublane reshapes (Mosaic layout rule, see
+  ops/pallas/stencil.py). Trunk state, the dense-growth buffer and the RRDB
+  residual live in VMEM scratch that PERSISTS across grid steps
+  (grid = (batch, n_rdb), sequential on a TensorCore); per-RDB weights
+  stream from HBM, double-buffered by the pallas pipeline. Measured: this
+  orchestration is fully overlapped (a no-compute kernel times at ~0 ms).
+- Each 3×3×3 growth conv becomes matmuls + a 9-tap scatter. The z taps are
+  folded into the matmul K dimension by keeping a 3-fold z-shifted im2col
+  of the state (and of the growth features) resident in VMEM — built once
+  per RDB with two full-width row-rolls + boundary masks, reused by all
+  four convs. The remaining 3×3 (dx,dy) taps are stacked along the output
+  lanes (slot v = (dx+1)·3+(dy+1), N = 12·gc after tile padding) so each
+  conv is ONE wide matmul per input block, and each tap's partial sum is
+  scattered by a static zero-fill row shift. x-boundary overflows coincide
+  with the array ends (row = x·Y·Zl + y·Zl + z is x-major), so the
+  zero-fill shift handles them exactly; only the y taps need a mask.
+  Measured motivation: sub-tile 32-lane slice/accumulate chains cost
+  ~0.8 µs each on v5e (lane-rotate relayouts), so the v1 design's 27
+  taps/conv dominated its runtime; 9 taps/conv + two full-width rolls is
+  the cheaper trade. Matmuls at these shapes run at ~full MXU rate.
+
+Numerics follow the XLA path: matmuls accumulate f32, LeakyReLU compares in
+f32 (Mosaic has no bf16 cmpf on v5e) and rounds to the compute dtype, the
+×0.2 residual adds run in the compute dtype. Forward-only — used where no
+gradient flows through G (the D train branch, validation SR, serving); the
+G update keeps the XLA trunk whose VJP is free.
 """
 
 from __future__ import annotations
@@ -43,35 +53,43 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TAPS = 27  # 3×3×3 kernel
+_TAPS_XY = 9  # 3×3 (dx,dy) output taps; dz lives in the matmul K dim
 
 
-def _tap_geometry(gc: int):
-    """(taps_per_group, n_groups, n_slots) for output-lane tap batching."""
-    tpg = max(1, 128 // gc)
-    n_groups = -(-_TAPS // tpg)
-    return tpg, n_groups, n_groups * tpg
+def _n_slots(gc: int) -> int:
+    """Output-lane tap slots: 9 padded so slots·gc is a lane-tile multiple."""
+    if 128 % gc == 0:
+        per_tile = 128 // gc
+        return -(-_TAPS_XY // per_tile) * per_tile
+    return _TAPS_XY
 
 
 def pack_trunk_params(params_G, num_rrdb: int, num_convs: int, nf: int,
                       gc: int, dtype):
     """Repack the flax trunk params into kernel-ready stacked tensors.
 
-    Per RDB and growth conv k (kernel (3,3,3, nf+gc·k, gc)) the 27 taps are
-    flattened (x-major, matching the (R, C) row flattening), split into the
-    state part (first nf input channels) and the dense-growth part, padded
-    to ``n_slots`` taps and laid out groups×(Cin, tpg·gc) so that group g,
-    lane block u holds tap ``g·tpg+u``.
+    Per RDB and growth conv k (kernel (3,3,3, nf+gc·k, gc), spatial dims
+    (dx,dy,dz)) the weights are split into the state part (first nf input
+    channels) and the dense-growth part and laid out for the z-im2col
+    matmul: K rows are dz-block-major (dz=-1 block, dz=0, dz=+1), N lanes
+    hold the 9 (dx,dy) taps side by side (slot v=(dx+1)·3+(dy+1) at lanes
+    [v·gc,(v+1)·gc)), padded to ``n_slots`` slots.
 
     Returns dict with:
-      A  : (J, K, n_groups, nf, tpg·gc)        state-part weights
-      B  : tuple over k=1..K-1 of (J, n_groups, gc·k, tpg·gc)
+      A  : (J, K, 3·nf, n_slots·gc)            state-part weights
+      B  : tuple over k=1..K-1 of (J, 3, gc·k, n_slots·gc)
       Wl : (J, nf + gc·K, nf)                  LFF (1×1×1) weights
       bl : (J, 1, nf)                          LFF bias
     where J = 3·num_rrdb RDB steps and K = num_convs - 1 growth convs.
     """
     K = num_convs - 1
-    tpg, n_groups, n_slots = _tap_geometry(gc)
+    ns = _n_slots(gc)
+
+    def repack(w, cin):
+        # (3,3,3,cin,gc) [dx,dy,dz] → (dz, cin, dx·dy slots, gc)
+        wt = jnp.transpose(w, (2, 3, 0, 1, 4)).reshape(3, cin, _TAPS_XY, gc)
+        wt = jnp.pad(wt, ((0, 0), (0, 0), (0, ns - _TAPS_XY), (0, 0)))
+        return wt.reshape(3, cin, ns * gc)
 
     A_steps, B_steps, Wl_steps, bl_steps = [], [], [], []
     for i in range(num_rrdb):
@@ -82,12 +100,8 @@ def pack_trunk_params(params_G, num_rrdb: int, num_convs: int, nf: int,
             for k in range(K):
                 cin = nf + gc * k
                 w = p[f"conv{k}"]["Conv_0"]["kernel"].astype(dtype)
-                wt = w.reshape(_TAPS, cin, gc)
-                wt = jnp.pad(wt, ((0, n_slots - _TAPS), (0, 0), (0, 0)))
-                # (slots, cin, gc) → (groups, cin, tpg·gc)
-                wt = wt.reshape(n_groups, tpg, cin, gc)
-                wt = wt.transpose(0, 2, 1, 3).reshape(n_groups, cin, tpg * gc)
-                A_k.append(wt[:, :nf])
+                wt = repack(w, cin)
+                A_k.append(wt[:, :nf].reshape(3 * nf, ns * gc))
                 if k > 0:
                     B_k.append(wt[:, nf:])
             A_steps.append(jnp.stack(A_k))
@@ -96,37 +110,46 @@ def pack_trunk_params(params_G, num_rrdb: int, num_convs: int, nf: int,
             Wl_steps.append(lff.reshape(nf + gc * K, nf))
             bl_steps.append(p["LFF"]["bias"].astype(dtype).reshape(1, nf))
 
-    packed = {
+    return {
         "A": jnp.stack(A_steps),
-        "B": tuple(
-            jnp.stack([b[k] for b in B_steps]) for k in range(K - 1)
-        ),
+        "B": tuple(jnp.stack([b[k] for b in B_steps]) for k in range(K - 1)),
         "Wl": jnp.stack(Wl_steps),
         "bl": jnp.stack(bl_steps),
     }
-    return packed
 
 
 @functools.lru_cache(maxsize=16)
-def _build_masks_np(X: int, Y: int, Z: int, gc: int):
-    """(R, 27·gc) boundary masks: column block t is tap t's validity,
-    pre-broadcast to gc lanes so mask application is one aligned multiply."""
+def _boundary_masks_np(X: int, Y: int, Z: int, width: int):
+    """(R, 4·width) masks [z>0 | z<Z-1 | y-valid(dy=-1) | y-valid(dy=+1)],
+    each pre-broadcast to ``width`` lanes."""
     r = np.arange(X * Y * Z)
-    xs, ys, zs = r // (Y * Z), (r // Z) % Y, r % Z
+    ys, zs = (r // Z) % Y, r % Z
+    cols = [zs > 0, zs < Z - 1, ys > 0, ys < Y - 1]
+    m = np.stack(cols, axis=1).astype(np.float32)
+    return np.repeat(m, width, axis=1).reshape(len(r), 4 * width)
+
+
+@functools.lru_cache(maxsize=16)
+def _xy_tap_masks_np(X: int, Y: int, Z: int, gc: int):
+    """(R, 9·gc) per-(dx,dy)-tap validity masks for the output scatter.
+
+    The scatter uses CIRCULAR row rolls (Mosaic cannot concat a zeros
+    block against a lane-offset slice), so the mask must also kill rows
+    whose shifted source wrapped across the array ends — which coincides
+    exactly with x-coordinate overflow in the x-major row order."""
+    r = np.arange(X * Y * Z)
+    xs, ys = r // (Y * Z), (r // Z) % Y
     cols = []
-    for t in range(_TAPS):
-        dx, dy, dz = t // 9 - 1, (t // 3) % 3 - 1, t % 3 - 1
-        ok = (
-            (xs + dx >= 0) & (xs + dx < X)
-            & (ys + dy >= 0) & (ys + dy < Y)
-            & (zs + dz >= 0) & (zs + dz < Z)
-        )
+    for v in range(_TAPS_XY):
+        dx, dy = v // 3 - 1, v % 3 - 1
+        ok = ((xs + dx >= 0) & (xs + dx < X)
+              & (ys + dy >= 0) & (ys + dy < Y))
         cols.append(np.repeat(ok[:, None], gc, axis=1))
     return np.concatenate(cols, axis=1).astype(np.float32)
 
 
 def _roll_rows(v, off: int):
-    """rolled[r] = v[(r + off) mod R] — static row shift (two slices)."""
+    """rolled[r] = v[(r + off) mod R] — static circular row shift."""
     n = v.shape[0]
     off = off % n
     if off == 0:
@@ -134,11 +157,11 @@ def _roll_rows(v, off: int):
     return jnp.concatenate([v[off:], v[:off]], axis=0)
 
 
-def _trunk_kernel(R, nf, gc, K, J, tpg, n_groups, offs, rdb_scale,
-                  rrdb_scale, per, dtype, slope,
-                  masks_ref, x_ref, A_ref, *rest):
+def _trunk_kernel(R, nf, gc, K, J, YZ, Z, ns, rdb_scale, rrdb_scale, per,
+                  dtype, slope,
+                  mnf_ref, mgc_ref, mxy_ref, x_ref, A_ref, *rest):
     B_refs = rest[: K - 1]
-    Wl_ref, bl_ref, out_ref, state, growth, rres = rest[K - 1:]
+    Wl_ref, bl_ref, out_ref, state, rres, x3, g3 = rest[K - 1:]
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -150,33 +173,50 @@ def _trunk_kernel(R, nf, gc, K, J, tpg, n_groups, offs, rdb_scale,
         rres[...] = state[...]
 
     s = state[...]  # (R, nf) compute dtype
+    # z-im2col of the state: block b holds s shifted by dz=b-1, boundary
+    # rows zeroed (built once, reused by all K growth convs)
+    x3[:, :nf] = _roll_rows(s, -1) * mnf_ref[:, :nf]
+    x3[:, nf:2 * nf] = s
+    x3[:, 2 * nf:] = _roll_rows(s, 1) * mnf_ref[:, nf:2 * nf]
+
+    gcT = gc * K
     for k in range(K):
-        y = jnp.zeros((R, gc), jnp.float32)
-        for g in range(n_groups):
-            p_grp = jnp.dot(
-                s, A_ref[0, k, g], preferred_element_type=jnp.float32
-            )
-            if k > 0:
-                p_grp = p_grp + jnp.dot(
-                    growth[:, : gc * k],
-                    B_refs[k - 1][0, g],
+        p_all = jnp.dot(
+            x3[...], A_ref[0, k], preferred_element_type=jnp.float32
+        )
+        if k > 0:
+            for b in range(3):
+                p_all = p_all + jnp.dot(
+                    g3[:, b * gcT: b * gcT + gc * k],
+                    B_refs[k - 1][0, b],
                     preferred_element_type=jnp.float32,
                 )
-            for u in range(tpg):
-                t = g * tpg + u
-                if t >= _TAPS:
-                    break
-                chunk = _roll_rows(p_grp[:, u * gc:(u + 1) * gc], offs[t])
-                y = y + chunk * masks_ref[:, t * gc:(t + 1) * gc]
-        # LeakyReLU: compare/select in f32 (Mosaic has no bf16 cmpf on v5e),
-        # then round to the compute dtype — sign is rounding-invariant so
-        # this matches XLA's lrelu(bf16) to bf16 ULP
+        # scatter the 9 (dx,dy) taps: circular roll + per-tap x/y mask
+        y = jnp.zeros((R, gc), jnp.float32)
+        for v in range(_TAPS_XY):
+            dx, dy = v // 3 - 1, v % 3 - 1
+            chunk = _roll_rows(p_all[:, v * gc:(v + 1) * gc],
+                               dx * YZ + dy * Z)
+            y = y + chunk * mxy_ref[:, v * gc:(v + 1) * gc]
+        # LeakyReLU: compare/select in f32 (no bf16 cmpf on v5e), then
+        # round — sign is rounding-invariant so this matches XLA to ULP
         yb = jnp.where(y >= 0, y, y * slope).astype(dtype)
-        growth[:, k * gc:(k + 1) * gc] = yb
+        # dense-growth buffer: z0 block feeds later convs' K and the LFF;
+        # z∓1 blocks are the growth features' own im2col (not needed for
+        # the last conv, whose output only the 1×1×1 LFF consumes)
+        g3[:, gcT + k * gc: gcT + (k + 1) * gc] = yb
+        if k < K - 1:
+            g3[:, k * gc:(k + 1) * gc] = (
+                _roll_rows(yb, -1) * mgc_ref[:, :gc]
+            )
+            g3[:, 2 * gcT + k * gc: 2 * gcT + (k + 1) * gc] = (
+                _roll_rows(yb, 1) * mgc_ref[:, gc:2 * gc]
+            )
 
     lff = jnp.dot(s, Wl_ref[0, :nf], preferred_element_type=jnp.float32)
     lff = lff + jnp.dot(
-        growth[...], Wl_ref[0, nf:], preferred_element_type=jnp.float32
+        g3[:, gcT:2 * gcT], Wl_ref[0, nf:],
+        preferred_element_type=jnp.float32,
     )
     lff = lff + bl_ref[0].astype(jnp.float32)
     new = s + lff.astype(dtype) * jnp.asarray(rdb_scale, dtype)
@@ -205,27 +245,30 @@ def fused_rrdb_trunk(packed, x, *, gc: int, num_convs: int,
     R = X * Y * Zl
     K = num_convs - 1
     J = packed["A"].shape[0]
-    tpg, n_groups, _ = _tap_geometry(gc)
+    ns = _n_slots(gc)
     dtype = x.dtype
 
-    offs = tuple(
-        (t // 9 - 1) * (Y * Zl) + ((t // 3) % 3 - 1) * Zl + (t % 3 - 1)
-        for t in range(_TAPS)
-    )
-    masks = jnp.asarray(_build_masks_np(X, Y, Zl, gc), dtype)
+    # boundary masks: [z-1 | z+1] at nf width (state im2col) and
+    # [z-1 | z+1 | dy=-1 | dy=+1] at gc width (growth im2col + scatter)
+    m_nf = _boundary_masks_np(X, Y, Zl, nf)[:, : 2 * nf]
+    m_gc = _boundary_masks_np(X, Y, Zl, gc)
+    m_xy = _xy_tap_masks_np(X, Y, Zl, gc)
+    m_nf = jnp.asarray(m_nf, dtype)
+    m_gc = jnp.asarray(m_gc, dtype)
+    m_xy = jnp.asarray(m_xy, dtype)
 
     x2 = x.reshape(N, R, nf)
     kernel = functools.partial(
-        _trunk_kernel, R, nf, gc, K, J, tpg, n_groups, offs,
+        _trunk_kernel, R, nf, gc, K, J, Y * Zl, Zl, ns,
         rdb_scale, rrdb_scale, rdbs_per_rrdb, dtype, negative_slope,
     )
     gcT = gc * K
     in_specs = [
-        pl.BlockSpec(masks.shape, lambda b, j: (0, 0)),
+        pl.BlockSpec(m_nf.shape, lambda b, j: (0, 0)),
+        pl.BlockSpec(m_gc.shape, lambda b, j: (0, 0)),
+        pl.BlockSpec(m_xy.shape, lambda b, j: (0, 0)),
         pl.BlockSpec((1, R, nf), lambda b, j: (b, 0, 0)),
-        pl.BlockSpec(
-            (1,) + packed["A"].shape[1:], lambda b, j: (j, 0, 0, 0, 0)
-        ),
+        pl.BlockSpec((1,) + packed["A"].shape[1:], lambda b, j: (j, 0, 0, 0)),
         *[
             pl.BlockSpec((1,) + bk.shape[1:], lambda b, j: (j, 0, 0, 0))
             for bk in packed["B"]
@@ -240,17 +283,19 @@ def fused_rrdb_trunk(packed, x, *, gc: int, num_convs: int,
         out_specs=pl.BlockSpec((1, R, nf), lambda b, j: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, R, nf), dtype),
         scratch_shapes=[
-            pltpu.VMEM((R, nf), dtype),
-            pltpu.VMEM((R, gcT), dtype),
-            pltpu.VMEM((R, nf), dtype),
+            pltpu.VMEM((R, nf), dtype),        # trunk state
+            pltpu.VMEM((R, nf), dtype),        # RRDB residual
+            pltpu.VMEM((R, 3 * nf), dtype),    # state z-im2col
+            pltpu.VMEM((R, 3 * gcT), dtype),   # growth z-im2col
         ],
-        # the persistent activations + masks + f32 tap temps exceed the 16 MB
-        # default scoped-vmem budget; v5e/v4 have 128 MiB physical VMEM
+        # persistent activations + f32 tap temps exceed the 16 MB default
+        # scoped-vmem budget; v5e/v4 have 128 MiB physical VMEM
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(masks, x2, packed["A"], *packed["B"], packed["Wl"], packed["bl"])
+    )(m_nf, m_gc, m_xy, x2, packed["A"], *packed["B"], packed["Wl"],
+      packed["bl"])
     return out.reshape(N, X, Y, Zl, nf)
 
 
@@ -259,8 +304,8 @@ def trunk_fusable(num_convs: int, gc: int, lff_kern_size: int,
                   max_rows: int = 4096) -> bool:
     """Whether the fused trunk supports this generator geometry.
 
-    Row cap keeps all persistent VMEM buffers + masks within ~14 MB; larger
-    volumes fall back to the XLA trunk (serving tiles big fields anyway).
+    Row cap keeps all persistent VMEM buffers within budget; larger volumes
+    fall back to the XLA trunk (serving tiles big fields anyway).
     """
     rows = int(np.prod(lr_spatial))
     return (

@@ -18,7 +18,7 @@ from gan_sr_wind_field_tpu.models.fused_apply import (
     generate_fused,
 )
 from gan_sr_wind_field_tpu.ops.pallas.rdb_trunk import (
-    _build_masks_np,
+    _boundary_masks_np,
     fused_rrdb_trunk,
     pack_trunk_params,
     trunk_fusable,
@@ -47,17 +47,18 @@ def _init(G, lr_shape, hr_spatial, seed=0):
     return params, lr, z
 
 
-def test_masks_cover_interior_and_zero_boundaries():
-    X, Y, Z, gc = 4, 3, 5, 2
-    m = _build_masks_np(X, Y, Z, gc)
-    assert m.shape == (X * Y * Z, 27 * gc)
-    # identity tap (dx=dy=dz=0) = tap 13: always valid
-    assert np.all(m[:, 13 * gc:(13 + 1) * gc] == 1.0)
-    # tap (−1,−1,−1) = tap 0 invalid whenever any coord is 0
+def test_boundary_masks():
+    X, Y, Z, w = 4, 3, 5, 2
+    m = _boundary_masks_np(X, Y, Z, w)
+    assert m.shape == (X * Y * Z, 4 * w)
     r = np.arange(X * Y * Z)
-    xs, ys, zs = r // (Y * Z), (r // Z) % Y, r % Z
-    expect = ((xs > 0) & (ys > 0) & (zs > 0)).astype(np.float32)
-    np.testing.assert_array_equal(m[:, 0], expect)
+    ys, zs = (r // Z) % Y, r % Z
+    np.testing.assert_array_equal(m[:, 0], (zs > 0).astype(np.float32))
+    np.testing.assert_array_equal(m[:, w], (zs < Z - 1).astype(np.float32))
+    np.testing.assert_array_equal(m[:, 2 * w], (ys > 0).astype(np.float32))
+    np.testing.assert_array_equal(
+        m[:, 3 * w], (ys < Y - 1).astype(np.float32)
+    )
 
 
 def test_trunk_kernel_matches_flax_rrdb_stack():
