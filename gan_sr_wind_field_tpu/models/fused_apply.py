@@ -41,8 +41,14 @@ def fused_supported(G, lr_shape) -> bool:
     )
 
 
-def generate_fused(G, params, lr, z_terrain, interpret: bool = False):
-    """Eval-mode generator forward; numerics match G.apply(train=False)."""
+def generator_forward(G, params, lr, z_terrain, trunk_fn,
+                      train: bool = False, dropout_key=None):
+    """Raw-JAX generator forward with a pluggable trunk.
+
+    trunk_fn(x) runs the RRDB trunk on the feature tensor; everything else
+    (head, long skip, upsampling, terrain branch, HR convs, channel
+    dropout) matches Generator3D.__call__ layer by layer.
+    """
     cdt = G.dtype or jnp.float32
 
     def conv(v, w, pad):
@@ -56,19 +62,7 @@ def generate_fused(G, params, lr, z_terrain, interpret: bool = False):
 
     x = conv(lr.astype(cdt), params["feature_conv"]["Conv_0"]["kernel"], 1)
 
-    packed = pack_trunk_params(
-        params, G.num_rrdb, G.num_rdb_convs, G.num_features,
-        G.rdb_growth_channels, cdt,
-    )
-    trunk = fused_rrdb_trunk(
-        packed, x,
-        gc=G.rdb_growth_channels,
-        num_convs=G.num_rdb_convs,
-        rdb_scale=G.rdb_residual_scaling,
-        rrdb_scale=G.rrdb_residual_scaling,
-        negative_slope=G.negative_slope,
-        interpret=interpret,
-    )
+    trunk = trunk_fn(x)
     trunk = conv(trunk, params["lr_conv"]["Conv_0"]["kernel"], 1)
     x = x + trunk  # SkipConnectionBlock
 
@@ -91,8 +85,37 @@ def generate_fused(G, params, lr, z_terrain, interpret: bool = False):
             params["hr_conv0"]["Conv_0"]["kernel"], hp,
         )
     x = lrelu(x)
-    # dropout: eval mode → identity
+    # channel dropout (torch Dropout3d semantics, flax Dropout
+    # broadcast_dims=(1,2,3)): zero whole channels, rescale the rest
+    p = G.dropout_probability
+    if train and p > 0.0:
+        keep = jax.random.bernoulli(
+            dropout_key, 1.0 - p, (x.shape[0], 1, 1, 1, x.shape[-1])
+        )
+        x = jnp.where(keep, x / (1.0 - p), 0.0).astype(cdt)
     x = conv(x, params["hr_conv1"]["kernel"], hp) + params["hr_conv1"][
         "bias"
     ].astype(cdt)
     return x.astype(jnp.float32)
+
+
+def generate_fused(G, params, lr, z_terrain, interpret: bool = False):
+    """Eval-mode generator forward; numerics match G.apply(train=False)."""
+    cdt = G.dtype or jnp.float32
+
+    def trunk_fn(x):
+        packed = pack_trunk_params(
+            params, G.num_rrdb, G.num_rdb_convs, G.num_features,
+            G.rdb_growth_channels, cdt,
+        )
+        return fused_rrdb_trunk(
+            packed, x,
+            gc=G.rdb_growth_channels,
+            num_convs=G.num_rdb_convs,
+            rdb_scale=G.rdb_residual_scaling,
+            rrdb_scale=G.rrdb_residual_scaling,
+            negative_slope=G.negative_slope,
+            interpret=interpret,
+        )
+
+    return generator_forward(G, params, lr, z_terrain, trunk_fn)

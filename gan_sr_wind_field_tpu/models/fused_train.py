@@ -1,0 +1,209 @@
+"""Trainable generator forward with the fused Pallas trunk (custom VJP).
+
+The G update differentiates through the generator; the Pallas trunk kernel
+is forward-only, so this module pairs it with a HAND-WRITTEN backward:
+
+- forward: the fused kernel (ops/pallas/rdb_trunk.py) run with
+  ``with_residuals=True`` — it emits every RDB's input state and dense
+  growth activations, i.e. exactly the residuals XLA's own autodiff would
+  have stashed. No forward recompute in the VJP (unlike remat).
+- backward: one ``lax.scan`` over the RDB steps in reverse. Each step
+  back-propagates through LFF and the dense growth convs using
+  ``jax.linear_transpose`` of the individual conv ops (convolution is
+  linear in each argument, so the transpose is a single transposed conv —
+  nothing is re-executed). The RRDB skip cotangent is carried to the
+  RRDB-start step through the scan carry.
+
+Numerics match ``jax.grad`` of the flax trunk (tested against the autodiff
+oracle in float32; bf16 within rounding).
+
+``apply_trainable(G, params, lr, z, ...)`` is the drop-in replacement for
+``G.apply({"params": params}, lr, z, train=True, rng_key=...)`` used by the
+G-loss branch when ``use_fused_trunk`` is enabled (train/gan.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from gan_sr_wind_field_tpu.models.fused_apply import generator_forward
+from gan_sr_wind_field_tpu.ops.pallas.rdb_trunk import (
+    fused_rrdb_trunk,
+    pack_trunk_params,
+)
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def _conv(v, w, pad):
+    return jax.lax.conv_general_dilated(
+        v, w, window_strides=(1, 1, 1), padding=[(pad, pad)] * 3,
+        dimension_numbers=_DN,
+    )
+
+
+def _stack_trunk_weights(trunk_params, num_rrdb, K, cdt):
+    """Per-RDB weights stacked along a leading J axis, in compute dtype."""
+    Wk, Wl, bl = [[] for _ in range(K)], [], []
+    for i in range(num_rrdb):
+        for j in range(3):
+            p = trunk_params[f"RRDB{i}"][f"RDB{j}"]
+            for k in range(K):
+                Wk[k].append(p[f"conv{k}"]["Conv_0"]["kernel"].astype(cdt))
+            Wl.append(p["LFF"]["kernel"].astype(cdt))
+            bl.append(p["LFF"]["bias"].astype(cdt))
+    return (
+        [jnp.stack(w) for w in Wk],
+        jnp.stack(Wl),
+        jnp.stack(bl),
+    )
+
+
+def _unstack_grads(dWk, dWl, dbl, num_rrdb, K):
+    """Stacked (J, ...) weight grads → the trunk params tree (float32)."""
+    tree = {}
+    step = 0
+    for i in range(num_rrdb):
+        rrdb = {}
+        for j in range(3):
+            rdb = {}
+            for k in range(K):
+                rdb[f"conv{k}"] = {
+                    "Conv_0": {"kernel": dWk[k][step].astype(jnp.float32)}
+                }
+            rdb["LFF"] = {
+                "kernel": dWl[step].astype(jnp.float32),
+                "bias": dbl[step].astype(jnp.float32),
+            }
+            rrdb[f"RDB{j}"] = rdb
+            step += 1
+        tree[f"RRDB{i}"] = rrdb
+    return tree
+
+
+def make_trainable_trunk(G, interpret: bool = False):
+    """custom_vjp trunk: pallas forward + scan-over-RDBs XLA backward."""
+    nf = G.num_features
+    gc = G.rdb_growth_channels
+    K = G.num_rdb_convs - 1
+    num_rrdb = G.num_rrdb
+    J = 3 * num_rrdb
+    per = 3
+    rdb_s, rrdb_s = G.rdb_residual_scaling, G.rrdb_residual_scaling
+    slope = G.negative_slope
+    cdt = G.dtype or jnp.float32
+    gcT = gc * K
+
+    def _fwd_kernel(trunk_params, x):
+        packed = pack_trunk_params(trunk_params, num_rrdb,
+                                   G.num_rdb_convs, nf, gc, cdt)
+        return fused_rrdb_trunk(
+            packed, x, gc=gc, num_convs=G.num_rdb_convs,
+            rdb_scale=rdb_s, rrdb_scale=rrdb_s, negative_slope=slope,
+            with_residuals=True, interpret=interpret,
+        )
+
+    @jax.custom_vjp
+    def trunk(trunk_params, x):
+        out, _, _ = _fwd_kernel(trunk_params, x)
+        return out
+
+    def trunk_fwd(trunk_params, x):
+        out, states, growths = _fwd_kernel(trunk_params, x)
+        return out, (trunk_params, states, growths, x.shape)
+
+    def trunk_bwd(res, d_out):
+        trunk_params, states, growths, xshape = res
+        N, X, Y, Zl, _ = xshape
+        sp = (N, X, Y, Zl)
+        # (N, J, R, C) → (J, N, X, Y, Zl, C) for the scan
+        states = jnp.swapaxes(states, 0, 1).reshape((J,) + sp + (nf,))
+        growths = jnp.swapaxes(growths, 0, 1).reshape((J,) + sp + (gcT,))
+        Wk_st, Wl_st, bl_st = _stack_trunk_weights(
+            trunk_params, num_rrdb, K, cdt
+        )
+        d_out = d_out.astype(cdt)
+        zero = jnp.zeros_like(d_out)
+
+        def step(carry, xs):
+            ds, pending = carry
+            j, s, g, Wl, bl = xs[0], xs[1], xs[2], xs[3], xs[4]
+            Wk = xs[5:]
+            is_end = (j % per) == (per - 1)
+            is_start = (j % per) == 0
+
+            # s_{j+1} = [rres +] (1|rrdb_s)·(s_j + rdb_s·lff)
+            d_r = jnp.where(is_end, ds * rrdb_s, ds)
+            pending = jnp.where(is_end, ds, pending)
+
+            cat_l = jnp.concatenate([s, g], axis=-1)
+            d_lff = d_r * rdb_s
+            d_catl = jax.linear_transpose(
+                lambda v: _conv(v, Wl, 0), cat_l
+            )(d_lff)[0]
+            dWl = jax.linear_transpose(
+                lambda w: _conv(cat_l, w, 0), Wl
+            )(d_lff)[0]
+            dbl = jnp.sum(d_lff, axis=(0, 1, 2, 3))
+
+            d_s = d_r + d_catl[..., :nf]
+            d_g = d_catl[..., nf:]
+            dWk = [None] * K
+            for k in reversed(range(K)):
+                g_k = g[..., k * gc:(k + 1) * gc]
+                d_u = d_g[..., k * gc:(k + 1) * gc] * jnp.where(
+                    g_k >= 0, jnp.asarray(1.0, cdt), jnp.asarray(slope, cdt)
+                )
+                cat_k = cat_l[..., : nf + gc * k]
+                d_cat = jax.linear_transpose(
+                    lambda v, W=Wk[k]: _conv(v, W, 1), cat_k
+                )(d_u)[0]
+                dWk[k] = jax.linear_transpose(
+                    lambda w, c=cat_k: _conv(c, w, 1), Wk[k]
+                )(d_u)[0]
+                d_s = d_s + d_cat[..., :nf]
+                if k > 0:
+                    d_g = d_g.at[..., : gc * k].add(d_cat[..., nf:])
+
+            ds_next = d_s + jnp.where(is_start, pending, zero)
+            pending = jnp.where(is_start, jnp.zeros_like(pending), pending)
+            return (ds_next, pending), (tuple(dWk), dWl, dbl)
+
+        xs = (jnp.arange(J), states, growths, Wl_st, bl_st, *Wk_st)
+        (d_x, _), (dWk_st, dWl_st, dbl_st) = jax.lax.scan(
+            step, (d_out, zero), xs, reverse=True
+        )
+        d_params = _unstack_grads(dWk_st, dWl_st, dbl_st, num_rrdb, K)
+        return d_params, d_x.astype(cdt)
+
+    trunk.defvjp(trunk_fwd, trunk_bwd)
+    return trunk
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_trainable_trunk(G, interpret):
+    return make_trainable_trunk(G, interpret)
+
+
+def apply_trainable(G, params, lr, z_terrain, train: bool = True,
+                    dropout_key=None, interpret: bool = False):
+    """Differentiable generator forward with the fused Pallas trunk.
+
+    Gradients flow into ``params`` (trunk via the custom VJP, head/tail via
+    XLA autodiff) and match ``jax.grad`` of ``G.apply`` to rounding.
+    """
+    trunk_cv = _cached_trainable_trunk(G, interpret)
+    trunk_params = {
+        f"RRDB{i}": params[f"RRDB{i}"] for i in range(G.num_rrdb)
+    }
+
+    def trunk_fn(x):
+        return trunk_cv(trunk_params, x)
+
+    return generator_forward(
+        G, params, lr, z_terrain, trunk_fn,
+        train=train, dropout_key=dropout_key,
+    )

@@ -158,10 +158,15 @@ def _roll_rows(v, off: int):
 
 
 def _trunk_kernel(R, nf, gc, K, J, YZ, Z, ns, rdb_scale, rrdb_scale, per,
-                  dtype, slope,
+                  dtype, slope, with_residuals,
                   mnf_ref, mgc_ref, mxy_ref, x_ref, A_ref, *rest):
     B_refs = rest[: K - 1]
-    Wl_ref, bl_ref, out_ref, state, rres, x3, g3 = rest[K - 1:]
+    rest = rest[K - 1:]
+    if with_residuals:
+        (Wl_ref, bl_ref, out_ref, st_res_ref, g_res_ref,
+         state, rres, x3, g3) = rest
+    else:
+        Wl_ref, bl_ref, out_ref, state, rres, x3, g3 = rest
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -173,6 +178,8 @@ def _trunk_kernel(R, nf, gc, K, J, YZ, Z, ns, rdb_scale, rrdb_scale, per,
         rres[...] = state[...]
 
     s = state[...]  # (R, nf) compute dtype
+    if with_residuals:
+        st_res_ref[0, 0] = s  # this RDB's input, for the custom-VJP bwd
     # z-im2col of the state: block b holds s shifted by dz=b-1, boundary
     # rows zeroed (built once, reused by all K growth convs)
     x3[:, :nf] = _roll_rows(s, -1) * mnf_ref[:, :nf]
@@ -213,6 +220,8 @@ def _trunk_kernel(R, nf, gc, K, J, YZ, Z, ns, rdb_scale, rrdb_scale, per,
                 _roll_rows(yb, 1) * mgc_ref[:, gc:2 * gc]
             )
 
+    if with_residuals:
+        g_res_ref[0, 0] = g3[:, gcT:2 * gcT]  # dense activations g1..gK
     lff = jnp.dot(s, Wl_ref[0, :nf], preferred_element_type=jnp.float32)
     lff = lff + jnp.dot(
         g3[:, gcT:2 * gcT], Wl_ref[0, nf:],
@@ -234,12 +243,18 @@ def _trunk_kernel(R, nf, gc, K, J, YZ, Z, ns, rdb_scale, rrdb_scale, per,
 def fused_rrdb_trunk(packed, x, *, gc: int, num_convs: int,
                      rdb_scale: float = 0.2, rrdb_scale: float = 0.2,
                      rdbs_per_rrdb: int = 3, negative_slope: float = 0.2,
+                     with_residuals: bool = False,
                      interpret: bool = False):
     """Run the whole RRDB trunk in one pallas call.
 
     packed: from :func:`pack_trunk_params`; x: (N, X, Y, Zl, nf) in the
     compute dtype. Returns the trunk output (N, X, Y, Zl, nf), same dtype
     (i.e. the value fed to lr_conv in the XLA path).
+
+    with_residuals=True additionally returns (states, growths) — per-RDB
+    input states (N, J, R, nf) and dense activations g1..gK (N, J, R, gc·K)
+    — the exact residuals the hand-written training backward consumes
+    (models/fused_train.py), so the VJP needs no forward recompute.
     """
     N, X, Y, Zl, nf = x.shape
     R = X * Y * Zl
@@ -261,6 +276,7 @@ def fused_rrdb_trunk(packed, x, *, gc: int, num_convs: int,
     kernel = functools.partial(
         _trunk_kernel, R, nf, gc, K, J, Y * Zl, Zl, ns,
         rdb_scale, rrdb_scale, rdbs_per_rrdb, dtype, negative_slope,
+        with_residuals,
     )
     gcT = gc * K
     in_specs = [
@@ -276,12 +292,25 @@ def fused_rrdb_trunk(packed, x, *, gc: int, num_convs: int,
         pl.BlockSpec((1, nf + gcT, nf), lambda b, j: (j, 0, 0)),
         pl.BlockSpec((1, 1, nf), lambda b, j: (j, 0, 0)),
     ]
+    out_specs = pl.BlockSpec((1, R, nf), lambda b, j: (b, 0, 0))
+    out_shape = jax.ShapeDtypeStruct((N, R, nf), dtype)
+    if with_residuals:
+        out_specs = (
+            out_specs,
+            pl.BlockSpec((1, 1, R, nf), lambda b, j: (b, j, 0, 0)),
+            pl.BlockSpec((1, 1, R, gcT), lambda b, j: (b, j, 0, 0)),
+        )
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct((N, J, R, nf), dtype),
+            jax.ShapeDtypeStruct((N, J, R, gcT), dtype),
+        )
     out = pl.pallas_call(
         kernel,
         grid=(N, J),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, R, nf), lambda b, j: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, R, nf), dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((R, nf), dtype),        # trunk state
             pltpu.VMEM((R, nf), dtype),        # RRDB residual
@@ -296,6 +325,9 @@ def fused_rrdb_trunk(packed, x, *, gc: int, num_convs: int,
         interpret=interpret,
     )(m_nf, m_gc, m_xy, x2, packed["A"], *packed["B"], packed["Wl"],
       packed["bl"])
+    if with_residuals:
+        trunk, states, growths = out
+        return trunk.reshape(N, X, Y, Zl, nf), states, growths
     return out.reshape(N, X, Y, Zl, nf)
 
 

@@ -264,6 +264,28 @@ class WindFieldGAN:
                 )
         return self.G.apply({"params": params_G}, lr, z, train=False)
 
+    def _g_forward_train(self, params_G, lr, z, train, dropout_key):
+        """Differentiable G forward: fused Pallas trunk with the hand-written
+        VJP (models/fused_train.py) when enabled; dropout masks match flax's
+        (same key, shape and keep-prob), so trajectories coincide."""
+        if self.use_fused_trunk:
+            from gan_sr_wind_field_tpu.models.fused_apply import (
+                fused_supported,
+            )
+            from gan_sr_wind_field_tpu.models.fused_train import (
+                apply_trainable,
+            )
+
+            if fused_supported(self.G, lr.shape) and not self.G.remat:
+                return apply_trainable(
+                    self.G, params_G, lr, z, train=train,
+                    dropout_key=dropout_key,
+                    interpret=self._pallas_interpret,
+                )
+        return self.G.apply(
+            {"params": params_G}, lr, z, train=train, rng_key=dropout_key
+        )
+
     def _generate(self, params_G, lr, z):
         return self._g_forward_nograd(params_G, lr, z)
 
@@ -314,8 +336,8 @@ class WindFieldGAN:
         ``w``: traced dict of the 5 searchable loss weights (pix, gxy, gz,
         div, xydiv); defaults to the config values."""
         w = w or self.default_weights
-        fake = self.G.apply(
-            {"params": params_G}, lr, z, train=train, rng_key=keys["g_dropout"]
+        fake = self._g_forward_train(
+            params_G, lr, z, train, keys["g_dropout"]
         )
         hr3 = hr[..., :3]
         batch = hr.shape[0]
