@@ -32,7 +32,9 @@ import jax.numpy as jnp
 from gan_sr_wind_field_tpu.models.fused_apply import generator_forward
 from gan_sr_wind_field_tpu.ops.pallas.rdb_trunk import (
     fused_rrdb_trunk,
+    fused_rrdb_trunk_bwd,
     pack_trunk_params,
+    pack_trunk_params_bwd,
 )
 
 _DN = ("NDHWC", "DHWIO", "NDHWC")
@@ -43,6 +45,13 @@ def _conv(v, w, pad):
         v, w, window_strides=(1, 1, 1), padding=[(pad, pad)] * 3,
         dimension_numbers=_DN,
     )
+
+
+# NOTE (measured, v5e): rewriting the conv input-grad as an XLA-level
+# im2col (27 shifted cotangent copies + one wide-K matmul) is 4-5x SLOWER
+# than the native transposed conv — the shifted-copy concats relayout badly
+# on the (…, z=10, C) minor dims. The dx bottleneck (K=gc per tap) is only
+# fixable inside a Pallas kernel where the copies stay in registers.
 
 
 def _stack_trunk_weights(trunk_params, num_rrdb, K, cdt):
@@ -119,63 +128,50 @@ def make_trainable_trunk(G, interpret: bool = False):
         trunk_params, states, growths, xshape = res
         N, X, Y, Zl, _ = xshape
         sp = (N, X, Y, Zl)
-        # (N, J, R, C) → (J, N, X, Y, Zl, C) for the scan
-        states = jnp.swapaxes(states, 0, 1).reshape((J,) + sp + (nf,))
-        growths = jnp.swapaxes(growths, 0, 1).reshape((J,) + sp + (gcT,))
-        Wk_st, Wl_st, bl_st = _stack_trunk_weights(
-            trunk_params, num_rrdb, K, cdt
+
+        # dx + pre-activation cotangents: the Pallas backward kernel.
+        # (XLA's transposed growth convs run at K=gc per tap — ~20% MXU —
+        # so the dx chain is a kernel; the weight grads below are already
+        # well-shaped convs and stay in XLA.)
+        packed_t = pack_trunk_params_bwd(
+            trunk_params, num_rrdb, K + 1, nf, gc, cdt
         )
-        d_out = d_out.astype(cdt)
-        zero = jnp.zeros_like(d_out)
+        d_x, dU, dLFF = fused_rrdb_trunk_bwd(
+            packed_t, growths,
+            d_out.astype(cdt).reshape(sp + (nf,)),
+            gc=gc, num_convs=K + 1, rdb_scale=rdb_s, rrdb_scale=rrdb_s,
+            negative_slope=slope, interpret=interpret,
+        )
 
-        def step(carry, xs):
-            ds, pending = carry
-            j, s, g, Wl, bl = xs[0], xs[1], xs[2], xs[3], xs[4]
+        # weight grads: carry-free scan over the RDB steps
+        def to_j(a, c):
+            return jnp.swapaxes(a, 0, 1).reshape((J,) + sp + (c,))
+
+        states = to_j(states, nf)
+        growths = to_j(growths, gcT)
+        dU = to_j(dU, gcT)
+        dLFF = to_j(dLFF, nf)
+        Wk_st, Wl_st, _ = _stack_trunk_weights(trunk_params, num_rrdb,
+                                               K, cdt)
+
+        def wstep(_, xs):
+            s, g, du, dlff, Wl = xs[0], xs[1], xs[2], xs[3], xs[4]
             Wk = xs[5:]
-            is_end = (j % per) == (per - 1)
-            is_start = (j % per) == 0
-
-            # s_{j+1} = [rres +] (1|rrdb_s)·(s_j + rdb_s·lff)
-            d_r = jnp.where(is_end, ds * rrdb_s, ds)
-            pending = jnp.where(is_end, ds, pending)
-
             cat_l = jnp.concatenate([s, g], axis=-1)
-            d_lff = d_r * rdb_s
-            d_catl = jax.linear_transpose(
-                lambda v: _conv(v, Wl, 0), cat_l
-            )(d_lff)[0]
             dWl = jax.linear_transpose(
                 lambda w: _conv(cat_l, w, 0), Wl
-            )(d_lff)[0]
-            dbl = jnp.sum(d_lff, axis=(0, 1, 2, 3))
-
-            d_s = d_r + d_catl[..., :nf]
-            d_g = d_catl[..., nf:]
-            dWk = [None] * K
-            for k in reversed(range(K)):
-                g_k = g[..., k * gc:(k + 1) * gc]
-                d_u = d_g[..., k * gc:(k + 1) * gc] * jnp.where(
-                    g_k >= 0, jnp.asarray(1.0, cdt), jnp.asarray(slope, cdt)
-                )
+            )(dlff)[0]
+            dbl = jnp.sum(dlff, axis=(0, 1, 2, 3))
+            dWk = []
+            for k in range(K):
                 cat_k = cat_l[..., : nf + gc * k]
-                d_cat = jax.linear_transpose(
-                    lambda v, W=Wk[k]: _conv(v, W, 1), cat_k
-                )(d_u)[0]
-                dWk[k] = jax.linear_transpose(
-                    lambda w, c=cat_k: _conv(c, w, 1), Wk[k]
-                )(d_u)[0]
-                d_s = d_s + d_cat[..., :nf]
-                if k > 0:
-                    d_g = d_g.at[..., : gc * k].add(d_cat[..., nf:])
+                dWk.append(jax.linear_transpose(
+                    lambda w, c=cat_k, W=Wk[k]: _conv(c, w, 1), Wk[k]
+                )(du[..., k * gc:(k + 1) * gc])[0])
+            return None, (tuple(dWk), dWl, dbl)
 
-            ds_next = d_s + jnp.where(is_start, pending, zero)
-            pending = jnp.where(is_start, jnp.zeros_like(pending), pending)
-            return (ds_next, pending), (tuple(dWk), dWl, dbl)
-
-        xs = (jnp.arange(J), states, growths, Wl_st, bl_st, *Wk_st)
-        (d_x, _), (dWk_st, dWl_st, dbl_st) = jax.lax.scan(
-            step, (d_out, zero), xs, reverse=True
-        )
+        xs = (states, growths, dU, dLFF, Wl_st, *Wk_st)
+        _, (dWk_st, dWl_st, dbl_st) = jax.lax.scan(wstep, None, xs)
         d_params = _unstack_grads(dWk_st, dWl_st, dbl_st, num_rrdb, K)
         return d_params, d_x.astype(cdt)
 

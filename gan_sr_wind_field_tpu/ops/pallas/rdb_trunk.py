@@ -348,3 +348,199 @@ def trunk_fusable(num_convs: int, gc: int, lff_kern_size: int,
         and rows <= max_rows
         and rows % 8 == 0
     )
+
+
+# --------------------------------------------------------------- backward
+def pack_trunk_params_bwd(params_G, num_rrdb: int, num_convs: int, nf: int,
+                          gc: int, dtype):
+    """Transposed weights for the backward-dx kernel.
+
+    Per growth conv k: Wt (27·gc, cin) with rows ordered (xy-tap v, z-block
+    c, out-channel o) to match the kernel's reverse-shifted cotangent
+    im2col; split into the state part At (27·gc, nf) and growth part
+    Bt (27·gc, gc·k). LFF: WlT (nf, nf+gc·K) (its transpose).
+    """
+    K = num_convs - 1
+    At_steps, Bt_steps, WlT_steps = [], [], []
+    for i in range(num_rrdb):
+        rrdb = params_G[f"RRDB{i}"]
+        for j in range(3):
+            p = rrdb[f"RDB{j}"]
+            At_k, Bt_k = [], []
+            for k in range(K):
+                cin = nf + gc * k
+                w = p[f"conv{k}"]["Conv_0"]["kernel"].astype(dtype)
+                # (dx,dy,dz,cin,gc) → rows (v=(dx,dy), c=dz, o), cols cin
+                wt = jnp.transpose(w, (0, 1, 2, 4, 3)).reshape(
+                    9, 3, gc, cin
+                ).reshape(27 * gc, cin)
+                At_k.append(wt[:, :nf])
+                if k > 0:
+                    Bt_k.append(wt[:, nf:])
+            At_steps.append(jnp.stack(At_k))
+            Bt_steps.append(Bt_k)
+            lff = p["LFF"]["kernel"].astype(dtype).reshape(nf + gc * K, nf)
+            WlT_steps.append(lff.T)
+    return {
+        "At": jnp.stack(At_steps),
+        "Bt": tuple(
+            jnp.stack([b[k] for b in Bt_steps]) for k in range(K - 1)
+        ),
+        "WlT": jnp.stack(WlT_steps),
+    }
+
+
+def _trunk_bwd_kernel(R, nf, gc, K, J, YZ, Z, rdb_scale, rrdb_scale, per,
+                      dtype, slope,
+                      mz_ref, mxy_ref, g_ref, dout_ref, At_ref, *rest):
+    Bt_refs = rest[: K - 1]
+    (WlT_ref, dx_ref, du_ref, dlff_ref,
+     ds_s, pend_s, dg_s, du3_s, du27_s) = rest[K - 1:]
+    jj = pl.program_id(1)  # step jj handles RDB j' = J-1-jj
+
+    @pl.when(jj == 0)
+    def _load():
+        ds_s[...] = dout_ref[0]
+        pend_s[...] = jnp.zeros_like(pend_s)
+
+    jp = (J - 1) - jj
+    is_end = (jp % per) == (per - 1)
+    is_start = (jp % per) == 0
+
+    ds = ds_s[...]
+    d_r = jnp.where(is_end, ds * jnp.asarray(rrdb_scale, dtype), ds)
+    pend_s[...] = jnp.where(is_end, ds, pend_s[...])
+
+    d_lff = d_r * jnp.asarray(rdb_scale, dtype)
+    dlff_ref[0, 0] = d_lff
+    d_catl = jnp.dot(d_lff, WlT_ref[0],
+                     preferred_element_type=jnp.float32)
+    d_s = d_r + d_catl[:, :nf].astype(dtype)
+    dg_s[...] = d_catl[:, nf:].astype(dtype)
+
+    g = g_ref[0, 0]  # (R, gc·K) dense activations of this RDB
+    gcT = gc * K
+    for k in range(K - 1, -1, -1):
+        g_k = g[:, k * gc:(k + 1) * gc].astype(jnp.float32)
+        lmask = jnp.where(
+            g_k >= 0, jnp.float32(1.0), jnp.float32(slope)
+        ).astype(dtype)
+        d_u = dg_s[:, k * gc:(k + 1) * gc] * lmask
+        du_ref[0, 0, :, k * gc:(k + 1) * gc] = d_u
+        # reverse-shifted im2col of d_u: lane block (v, c) holds
+        # d_u[r − (δ_v + (c−1))], boundary rows zeroed. Build the 3-lane-
+        # block z-im2col once, then move it whole per xy tap — 9 ops at
+        # 3·gc width instead of 27 at gc width (sub-tile ops pay a
+        # lane-relayout each; fewer, wider ops win).
+        for c in range(3):
+            duc = _roll_rows(d_u, -(c - 1))
+            if c == 0:
+                duc = duc * mz_ref[:, gc:2 * gc]   # source z+1 valid
+            elif c == 2:
+                duc = duc * mz_ref[:, :gc]         # source z−1 valid
+            du3_s[:, c * gc:(c + 1) * gc] = duc
+        du3 = du3_s[...]
+        w3 = 3 * gc
+        for v in range(9):
+            dx, dy = v // 3 - 1, v % 3 - 1
+            dvc = _roll_rows(du3, -(dx * YZ + dy * Z))
+            rv = 8 - v  # mask of tap (−dx, −dy)
+            du27_s[:, v * w3:(v + 1) * w3] = (
+                dvc * mxy_ref[:, rv * w3:(rv + 1) * w3]
+            )
+        d_cat_s = jnp.dot(du27_s[...], At_ref[0, k],
+                          preferred_element_type=jnp.float32)
+        d_s = d_s + d_cat_s.astype(dtype)
+        if k > 0:
+            d_cat_g = jnp.dot(du27_s[...], Bt_refs[k - 1][0],
+                              preferred_element_type=jnp.float32)
+            dg_s[:, : gc * k] = (
+                dg_s[:, : gc * k] + d_cat_g.astype(dtype)
+            )
+
+    d_s = d_s + jnp.where(is_start, pend_s[...], jnp.zeros_like(d_s))
+    pend_s[...] = jnp.where(
+        is_start, jnp.zeros_like(pend_s), pend_s[...]
+    )
+    ds_s[...] = d_s
+
+    @pl.when(jj == J - 1)
+    def _flush():
+        dx_ref[0] = ds_s[...]
+
+
+def fused_rrdb_trunk_bwd(packed_t, growths, d_out, *, gc: int,
+                         num_convs: int, rdb_scale: float = 0.2,
+                         rrdb_scale: float = 0.2, rdbs_per_rrdb: int = 3,
+                         negative_slope: float = 0.2,
+                         interpret: bool = False):
+    """Backward-dx pass of the fused trunk.
+
+    packed_t: from :func:`pack_trunk_params_bwd`; growths: the (N, J, R,
+    gc·K) dense activations saved by the forward kernel; d_out: trunk
+    output cotangent (N, X, Y, Zl, nf).
+
+    Returns (d_x, dU, dLFF): the trunk-input cotangent plus the per-step
+    pre-activation cotangents d_u (N, J, R, gc·K) and d_lff (N, J, R, nf)
+    that the XLA side contracts into weight gradients (models/fused_train).
+    """
+    N, X, Y, Zl, nf = d_out.shape
+    R = X * Y * Zl
+    K = num_convs - 1
+    J = packed_t["At"].shape[0]
+    dtype = d_out.dtype
+    gcT = gc * K
+
+    m_z = jnp.asarray(_boundary_masks_np(X, Y, Zl, gc)[:, :2 * gc], dtype)
+    m_xy = jnp.asarray(_xy_tap_masks_np(X, Y, Zl, 3 * gc), dtype)
+
+    d2 = d_out.reshape(N, R, nf)
+    kernel = functools.partial(
+        _trunk_bwd_kernel, R, nf, gc, K, J, Y * Zl, Zl,
+        rdb_scale, rrdb_scale, rdbs_per_rrdb, dtype, negative_slope,
+    )
+    jrev = J - 1
+    in_specs = [
+        pl.BlockSpec(m_z.shape, lambda b, j: (0, 0)),
+        pl.BlockSpec(m_xy.shape, lambda b, j: (0, 0)),
+        pl.BlockSpec((1, 1, R, gcT), lambda b, j: (b, jrev - j, 0, 0)),
+        pl.BlockSpec((1, R, nf), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec(
+            (1,) + packed_t["At"].shape[1:], lambda b, j: (jrev - j, 0, 0, 0)
+        ),
+        *[
+            pl.BlockSpec((1,) + bk.shape[1:],
+                         lambda b, j: (jrev - j, 0, 0))
+            for bk in packed_t["Bt"]
+        ],
+        pl.BlockSpec((1, nf, nf + gcT), lambda b, j: (jrev - j, 0, 0)),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(N, J),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, R, nf), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, 1, R, gcT), lambda b, j: (b, jrev - j, 0, 0)),
+            pl.BlockSpec((1, 1, R, nf), lambda b, j: (b, jrev - j, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, R, nf), dtype),
+            jax.ShapeDtypeStruct((N, J, R, gcT), dtype),
+            jax.ShapeDtypeStruct((N, J, R, nf), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, nf), dtype),          # running ds
+            pltpu.VMEM((R, nf), dtype),          # pending RRDB skip
+            pltpu.VMEM((R, gcT), dtype),         # d_growth accumulator
+            pltpu.VMEM((R, 3 * gc), dtype),      # z-im2col of d_u
+            pltpu.VMEM((R, 27 * gc), dtype),     # reverse im2col of d_u
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(m_z, m_xy, growths, d2, packed_t["At"], *packed_t["Bt"],
+      packed_t["WlT"])
+    d_x, dU, dLFF = out
+    return d_x.reshape(N, X, Y, Zl, nf), dU, dLFF
