@@ -4,6 +4,7 @@ from gan_sr_wind_field_tpu.parallel.mesh import (
     replicate,
     shard_params,
     shard_state,
+    volume_sharding,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "replicate",
     "shard_params",
     "shard_state",
+    "volume_sharding",
 ]

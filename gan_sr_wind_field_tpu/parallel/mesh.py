@@ -30,18 +30,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     data_parallel: int = -1,
     tensor_parallel: int = 1,
+    spatial_parallel: int = 1,
     devices=None,
 ) -> Mesh:
-    """('data', 'model') mesh. data=-1 → all remaining devices."""
+    """('data', 'model'[, 'spatial']) mesh. data=-1 → all remaining devices.
+
+    The 'spatial' axis (created only when spatial_parallel > 1) shards the x
+    spatial dimension of the volumes: GSPMD spatially partitions every conv,
+    inserting the halo exchanges (collective-permutes over ICI) for the
+    receptive fields automatically — the TPU-native route to full-volume
+    training beyond one chip's HBM (SURVEY.md §5 "long-context" equivalent).
+    """
     devices = list(devices if devices is not None else jax.devices())
     if data_parallel == -1:
-        data_parallel = max(1, len(devices) // tensor_parallel)
-    n = data_parallel * tensor_parallel
+        data_parallel = max(
+            1, len(devices) // (tensor_parallel * spatial_parallel)
+        )
+    n = data_parallel * tensor_parallel * spatial_parallel
     if n > len(devices):
         raise ValueError(
-            f"mesh {data_parallel}x{tensor_parallel} needs {n} devices, "
-            f"have {len(devices)}"
+            f"mesh {data_parallel}x{tensor_parallel}x{spatial_parallel} "
+            f"needs {n} devices, have {len(devices)}"
         )
+    if spatial_parallel > 1:
+        arr = mesh_utils.create_device_mesh(
+            (data_parallel, tensor_parallel, spatial_parallel),
+            devices=devices[:n],
+        )
+        return Mesh(arr, ("data", "model", "spatial"))
     arr = mesh_utils.create_device_mesh(
         (data_parallel, tensor_parallel), devices=devices[:n]
     )
@@ -50,6 +66,18 @@ def make_mesh(
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def volume_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (N, X, Y, Z, C) volumes: batch over 'data', x over 'spatial'.
+
+    Identical to `batch_sharding` on meshes without a spatial axis. Used for
+    LR, HR and Z alike (all are rank-5 with x at dim 1); XLA reshards
+    LR→HR-resolution tensors through the generator automatically.
+    """
+    if "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "spatial"))
     return NamedSharding(mesh, P("data"))
 
 

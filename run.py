@@ -144,15 +144,16 @@ def main(argv=None):
         return
 
     if cfg.is_train:
-        from gan_sr_wind_field_tpu.parallel import batch_sharding, make_mesh
+        from gan_sr_wind_field_tpu.parallel import make_mesh, volume_sharding
         from gan_sr_wind_field_tpu.train.loop import train
 
         mesh = None
         data_sh = None
         batch = cfg.dataset_train.batch_size if cfg.dataset_train else 1
         if len(jax.devices()) > 1:
+            sp = cfg.parallel.spatial_parallel
             mesh = make_mesh(
-                cfg.parallel.data_parallel, cfg.parallel.tensor_parallel
+                cfg.parallel.data_parallel, cfg.parallel.tensor_parallel, sp
             )
             if batch % mesh.shape["data"] != 0:
                 # shrink the data axis to the largest divisor of the batch
@@ -163,8 +164,8 @@ def main(argv=None):
                     f"batch {batch} not divisible by data axis "
                     f"{mesh.shape['data']}; using data={dp}"
                 )
-                mesh = make_mesh(dp, cfg.parallel.tensor_parallel)
-            data_sh = batch_sharding(mesh)
+                mesh = make_mesh(dp, cfg.parallel.tensor_parallel, sp)
+            data_sh = volume_sharding(mesh)
             status.info(f"mesh: {mesh}")
         train(
             cfg, ds_train, ds_val, x, y,
