@@ -40,8 +40,23 @@ class WindFieldSR:
     @classmethod
     def from_checkpoint(cls, cfg, checkpoint_path: str, x, y,
                         lr_shape: Optional[Tuple[int, ...]] = None):
-        """Restore a trained generator (Orbax checkpoint from train/)."""
+        """Restore a trained generator.
+
+        Accepts either this framework's Orbax checkpoints (train/) or a
+        reference PyTorch ``G_{it}.pth`` state_dict (path ending ``.pth``) —
+        the migration path for reference-trained weights
+        (utils/torch_import.py).
+        """
         gan = WindFieldGAN(cfg, x, y)
+        if checkpoint_path.endswith(".pth"):
+            from gan_sr_wind_field_tpu.utils.torch_import import (
+                load_reference_checkpoint,
+            )
+
+            params_G, _, _ = load_reference_checkpoint(gan.G, checkpoint_path)
+            import jax.numpy as jnp
+
+            return cls(gan, jax.tree.map(jnp.asarray, params_G))
         g = cfg.gan_config
         if lr_shape is None:
             patch = g.slice_size if g.enable_slicing else len(x)

@@ -102,7 +102,19 @@ def run_test(cfg, dataset_test, x, y, state=None,
                     g.number_of_z_layers, cfg.lr_num_channels)
         hr_shape = (1, patch, patch, g.number_of_z_layers, 3)
         example = gan.init_state(jax.random.key(0), lr_shape, hr_shape)
-        state = ckpt.restore_checkpoint(path, example)
+        if path.endswith(".pth"):  # reference torch checkpoint migration
+            import jax.numpy as jnp
+
+            from gan_sr_wind_field_tpu.utils.torch_import import (
+                load_reference_checkpoint,
+            )
+
+            params_G, _, _ = load_reference_checkpoint(gan.G, path)
+            state = example.replace(
+                params_G=jax.tree.map(jnp.asarray, params_G)
+            )
+        else:
+            state = ckpt.restore_checkpoint(path, example)
         status.info(f"loaded generator from {path}")
 
     os.makedirs(output_root, exist_ok=True)
