@@ -210,6 +210,71 @@ def import_discriminator_state_dict(
     return params, stats
 
 
+def _inv_conv_weight(k) -> np.ndarray:
+    """flax (kx, ky, kz, I, O) → torch Conv3d (O, I, kx, ky, kz)."""
+    return np.ascontiguousarray(np.transpose(_np(k), (4, 3, 0, 1, 2)))
+
+
+def export_generator_state_dict(params, generator) -> Dict[str, np.ndarray]:
+    """Flax Generator3D params → reference-layout state_dict arrays.
+
+    Inverse of `import_generator_state_dict` (wrap values in torch tensors
+    and ``torch.save`` to produce a reference-loadable ``G_{it}.pth``).
+    """
+    g = generator
+    sd: Dict[str, np.ndarray] = {}
+    sd["model.0.0.weight"] = _inv_conv_weight(
+        params["feature_conv"]["Conv_0"]["kernel"]
+    )
+    for i in range(g.num_rrdb):
+        for j in range(3):
+            base = f"model.1.module.{i}.RDBs.{j}."
+            rdb = params[f"RRDB{i}"][f"RDB{j}"]
+            for k in range(g.num_rdb_convs - 1):
+                sd[base + f"conv{k}.conv.0.weight"] = _inv_conv_weight(
+                    rdb[f"conv{k}"]["Conv_0"]["kernel"]
+                )
+            sd[base + "LFF.weight"] = _inv_conv_weight(rdb["LFF"]["kernel"])
+            sd[base + "LFF.bias"] = _np(rdb["LFF"]["bias"])
+    sd[f"model.1.module.{g.num_rrdb}.0.weight"] = _inv_conv_weight(
+        params["lr_conv"]["Conv_0"]["kernel"]
+    )
+    n_up = int(math.floor(math.log2(g.upscale)))
+    for u in range(n_up):
+        sd[f"model.{2 + u}.1.0.weight"] = _inv_conv_weight(
+            params[f"upconv{u}"]["Conv_0"]["kernel"]
+        )
+    sd["terrain_convs.0.0.weight"] = _inv_conv_weight(
+        params["terrain_conv0"]["Conv_0"]["kernel"]
+    )
+    sd["terrain_convs.1.0.weight"] = _inv_conv_weight(
+        params["terrain_conv1"]["Conv_0"]["kernel"]
+    )
+    if g.split_hr_concat:
+        wx = _inv_conv_weight(params["hr_conv0_x"]["kernel"])
+        wt = _inv_conv_weight(params["hr_conv0_t"]["kernel"])
+        sd["hr_convs.0.0.weight"] = np.concatenate([wx, wt], axis=1)
+    else:
+        sd["hr_convs.0.0.weight"] = _inv_conv_weight(
+            params["hr_conv0"]["Conv_0"]["kernel"]
+        )
+    sd["hr_convs.2.weight"] = _inv_conv_weight(params["hr_conv1"]["kernel"])
+    sd["hr_convs.2.bias"] = _np(params["hr_conv1"]["bias"])
+    return sd
+
+
+def save_reference_checkpoint(path: str, params, generator) -> str:
+    """Write a reference-loadable ``G_{it}.pth`` from flax params."""
+    import torch
+
+    sd = {
+        k: torch.from_numpy(np.array(v, copy=True))
+        for k, v in export_generator_state_dict(params, generator).items()
+    }
+    torch.save(sd, path)
+    return path
+
+
 def load_reference_checkpoint(
     generator,
     g_path: str,

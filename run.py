@@ -198,7 +198,19 @@ def main(argv=None):
             (1, patch, patch, g.number_of_z_layers, 3),
         )
         path = cfg.env.generator_load_path
-        state = ckpt.restore_checkpoint(path, example) if path else example
+        if path and path.endswith(".pth"):  # reference torch checkpoint
+            from gan_sr_wind_field_tpu.utils.torch_import import (
+                load_reference_checkpoint,
+            )
+
+            params_G, _, _ = load_reference_checkpoint(gan.G, path)
+            state = example.replace(
+                params_G=jax.tree.map(jax.numpy.asarray, params_G)
+            )
+        elif path:
+            state = ckpt.restore_checkpoint(path, example)
+        else:
+            state = example
         run_use(cfg, ds_test, x, y, state=state)
         return
 

@@ -227,6 +227,50 @@ def test_load_reference_checkpoint_files(tmp_path, rng):
     assert params_G["hr_conv1"]["kernel"].shape == (3, 3, 3, NF + TNF, 3)
 
 
+def test_export_roundtrip_and_torch_load(tmp_path, rng):
+    """flax → .pth → torch replica forward == flax forward (two-way interop)."""
+    from gan_sr_wind_field_tpu.utils.torch_import import (
+        export_generator_state_dict,
+        save_reference_checkpoint,
+    )
+
+    fg = _flax_g(True)
+    lr = rng.standard_normal((1, 4, 4, 4, 4)).astype(np.float32)
+    zt = rng.standard_normal((1, 16, 16, 4, 1)).astype(np.float32)
+    params = fg.init(jax.random.key(3), jnp.asarray(lr), jnp.asarray(zt),
+                     train=False)["params"]
+    fout = np.asarray(
+        fg.apply({"params": params}, jnp.asarray(lr), jnp.asarray(zt),
+                 train=False)
+    )
+
+    # import(export(params)) is the identity on every leaf
+    back = import_generator_state_dict(
+        export_generator_state_dict(params, fg), fg
+    )
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(params),
+               key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(
+            jax.tree.map(jnp.asarray, back)), key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the torch replica loads the exported file and reproduces the forward
+    path = save_reference_checkpoint(str(tmp_path / "G_7.pth"), params, fg)
+    tg = TorchG()
+    tg.load_state_dict(torch.load(path))
+    tg = tg.eval()
+    with torch.no_grad():
+        tout = tg(
+            torch.from_numpy(np.moveaxis(lr, -1, 1)),
+            torch.from_numpy(np.moveaxis(zt, -1, 1)),
+        ).numpy()
+    np.testing.assert_allclose(
+        np.moveaxis(fout, -1, 1), tout, rtol=2e-4, atol=1e-4
+    )
+
+
 def test_serve_from_torch_checkpoint(tmp_path, rng):
     """End-to-end migration: WindFieldSR straight off a reference .pth."""
     from gan_sr_wind_field_tpu.eval.serve import WindFieldSR
