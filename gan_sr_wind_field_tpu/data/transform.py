@@ -44,12 +44,24 @@ def reformat_sample(
     include_pressure: bool = False,
     include_z_channel: bool = False,
     include_above_ground_channel: bool = False,
+    for_plotting: bool = False,
 ):
-    """→ (LR, HR, Z) float32 channel-last arrays."""
+    """→ (LR, HR, Z) float32 channel-last arrays.
+
+    ``for_plotting`` appends the normalized pressure as a 4th HR channel
+    (reference process_data.py:446-450, used by the offline plots)."""
     cf = coarseness_factor
     hr = np.stack([u, v, w], axis=-1) / stats.uvw_max
+    if for_plotting and include_pressure:
+        hr = np.concatenate(
+            [
+                hr,
+                ((p - stats.p_min) / (stats.p_max - stats.p_min))[..., None],
+            ],
+            axis=-1,
+        )
 
-    channels = [hr[::cf, ::cf, :]]
+    channels = [hr[::cf, ::cf, :, :3]]
     if include_pressure:
         channels.append(
             ((p - stats.p_min) / (stats.p_max - stats.p_min))[

@@ -142,6 +142,25 @@ class TestReformat:
         )
 
 
+    def test_for_plotting_appends_pressure_to_hr(self, rng):
+        # reference process_data.py:446-450: plotting mode carries the
+        # normalized pressure as a 4th HR channel; LR is unchanged
+        u, v, w = (rng.standard_normal((16, 16, 5)) for _ in range(3))
+        z = np.cumsum(rng.random((16, 16, 5)), axis=-1)
+        p = 1e5 * np.ones((16, 16, 5))
+        lr, hr, _ = reformat_sample(
+            z, z, u, v, w, p, self._stats(), coarseness_factor=4,
+            include_pressure=True, for_plotting=True,
+        )
+        lr2, hr2, _ = reformat_sample(
+            z, z, u, v, w, p, self._stats(), coarseness_factor=4,
+            include_pressure=True,
+        )
+        assert hr.shape[-1] == 4 and hr2.shape[-1] == 3
+        np.testing.assert_allclose(hr[..., 3], (1e5 - 90000.0) / 15000.0)
+        np.testing.assert_array_equal(lr, lr2)
+
+
 class TestZInterp:
     def test_interp_columns_matches_np_interp(self, rng):
         x_old = np.cumsum(0.5 + rng.random((5, 6, 10)), axis=-1)
