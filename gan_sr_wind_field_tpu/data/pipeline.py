@@ -28,11 +28,19 @@ def prefetch_to_device(iterator, sharding=None, size: int = 2):
     `jax.device_put` with ``sharding`` (replicated/sharded as given).
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
+    multihost = jax.process_count() > 1 and sharding is not None
+
+    def put_one(x):
+        if multihost:
+            # pods: each process holds its local batch shard; assemble the
+            # global array across hosts (DCN metadata only, no data motion)
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     def put(item):
         if isinstance(item, (tuple, list)):
-            return type(item)(jax.device_put(x, sharding) for x in item)
-        return jax.device_put(item, sharding)
+            return type(item)(put_one(x) for x in item)
+        return put_one(item)
 
     def producer():
         try:

@@ -74,7 +74,13 @@ def train(cfg, dataset_train, dataset_validation, x, y,
     dataset_train.data_aug_flip = False
 
     batch_size = cfg.dataset_train.batch_size if cfg.dataset_train else 1
-    rng_np = np.random.default_rng(cfg.env.fixed_seed)
+    # multi-host pods: each process loads its shard of the global batch
+    # (pipeline assembles global arrays via make_array_from_process_local_data)
+    n_proc = jax.process_count()
+    local_batch = max(batch_size // n_proc, 1) if n_proc > 1 else batch_size
+    rng_np = np.random.default_rng(
+        cfg.env.fixed_seed + (jax.process_index() if n_proc > 1 else 0)
+    )
     probe_lr, probe_hr, _probe_z = dataset_train.get(0, rng_np)
 
     state = gan.init_state(
@@ -100,7 +106,7 @@ def train(cfg, dataset_train, dataset_validation, x, y,
                                 max(len(dataset_train), 1))) + 1)
 
     batch_iter = dataset_train.batches(
-        batch_size, rng_np, shuffle=True, epochs=epochs
+        local_batch, rng_np, shuffle=True, epochs=epochs
     )
     prefetched = prefetch_to_device(batch_iter, sharding=data_sharding)
 
