@@ -38,6 +38,8 @@ def build(batch_size: int, use_remat: bool = False):
     # fused Pallas RRDB trunk for the D branch's no-grad G forward
     # (measured: G forward 390->304 ms at this geometry)
     cfg.use_fused_trunk = True
+    # fused Pallas physics stencil (G step 520.1 -> 516.8 ms measured)
+    cfg.use_pallas_stencil = True
     cfg.gan_config.include_pressure = False
     cfg.gan_config.include_z_channel = True
     cfg.gan_config.number_of_z_layers = 10
