@@ -207,6 +207,9 @@ class TrainingConfig:
     val_period: int = 2000
     save_model_period: int = 2000
     log_period: int = 100
+    # TPU addition: keep only the last N checkpoints (0 = keep all, the
+    # reference behaviour); a full GAN state is ~0.5 GB on disk
+    keep_checkpoints: int = 0
 
 
 @dataclass
@@ -470,6 +473,7 @@ class Config:
             T.niter = _get(tr, "niter", int, T.niter)
             T.val_period = _get(tr, "val_period", int, T.val_period)
             T.save_model_period = _get(tr, "save_model_period", int, T.save_model_period)
+            T.keep_checkpoints = _get(tr, "keep_checkpoints", int, T.keep_checkpoints)
             T.log_period = _get(tr, "log_period", int, T.log_period)
 
         for sec_name, attr in (

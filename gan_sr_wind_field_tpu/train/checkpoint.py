@@ -29,13 +29,32 @@ def _from_savable(state: GANTrainState):
     return state.replace(rng=jax.random.wrap_key_data(state.rng))
 
 
-def save_checkpoint(run_folder: str, state: GANTrainState) -> str:
-    """Write a checkpoint for the state's current iteration."""
+def save_checkpoint(
+    run_folder: str, state: GANTrainState, keep_last: int = 0
+) -> str:
+    """Write a checkpoint for the state's current iteration.
+
+    ``keep_last`` > 0 prunes older ``ckpt_*`` dirs down to that many (a full
+    GAN state is ~0.5 GB; the reference keeps everything, baseGAN.py:82-106,
+    which is the default here too).
+    """
     it = int(state.it)
     path = os.path.abspath(os.path.join(run_folder, f"ckpt_{it}"))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, _to_savable(state), force=True)
     ckptr.wait_until_finished()
+    if keep_last > 0:
+        import shutil
+
+        its = sorted(
+            int(m.group(1))
+            for name in os.listdir(run_folder)
+            if (m := re.fullmatch(r"ckpt_(\d+)", name))
+        )
+        for old in its[:-keep_last]:
+            shutil.rmtree(
+                os.path.join(run_folder, f"ckpt_{old}"), ignore_errors=True
+            )
     return path
 
 

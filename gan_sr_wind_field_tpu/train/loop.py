@@ -155,7 +155,9 @@ def train(cfg, dataset_train, dataset_validation, x, y,
             )
 
         if it % cfg_t.save_model_period == 0:
-            path = ckpt.save_checkpoint(run_folder, state)
+            path = ckpt.save_checkpoint(
+                run_folder, state, keep_last=cfg_t.keep_checkpoints
+            )
             status.info(f"saved checkpoint {path}")
 
         if dataset_validation is not None and it % cfg_t.val_period == 0:
@@ -164,7 +166,9 @@ def train(cfg, dataset_train, dataset_validation, x, y,
             )
 
     if int(state.it) != start_it:
-        ckpt.save_checkpoint(run_folder, state)
+        ckpt.save_checkpoint(
+            run_folder, state, keep_last=cfg_t.keep_checkpoints
+        )
     tb.close()
     return state
 

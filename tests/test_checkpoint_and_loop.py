@@ -55,6 +55,28 @@ class TestCheckpoint:
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestCheckpointRetention:
+    def test_keep_last_prunes_older(self, tmp_path, rng):
+        cfg = tiny_cfg()
+        x = np.arange(16, dtype=np.float32) * 150
+        gan = WindFieldGAN(cfg, x, x)
+        state = gan.init_state(
+            jax.random.key(0), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        lr, hr, z = make_batch(rng)
+        for _ in range(3):
+            state, _ = gan.train_step(state, lr, hr, z)
+            ckpt.save_checkpoint(str(tmp_path), state, keep_last=2)
+        names = sorted(
+            n for n in os.listdir(str(tmp_path)) if n.startswith("ckpt_")
+        )
+        assert names == ["ckpt_2", "ckpt_3"]
+        # keep_last=0 keeps everything (reference behaviour)
+        state, _ = gan.train_step(state, lr, hr, z)
+        ckpt.save_checkpoint(str(tmp_path), state, keep_last=0)
+        assert len(os.listdir(str(tmp_path))) == 3
+
+
 class TestTrainLoopSmoke:
     def test_ten_iterations_synthetic(self, tmp_path):
         cfg = Config()
