@@ -32,10 +32,20 @@ def _cosine_window(n: int) -> np.ndarray:
 
 
 class WindFieldSR:
-    def __init__(self, gan: WindFieldGAN, params_G):
+    def __init__(self, gan: WindFieldGAN, params_G, mesh=None):
+        """``mesh``: optional device mesh — full volumes are sharded over
+        its 'spatial' (x) axis so one forward spans multiple chips (GSPMD
+        conv halo exchange; parallel/mesh.py). Alternative to host-side
+        `upscale_tiled` when a slice is available."""
         self.gan = gan
         self.params_G = params_G
         self.scale = gan.cfg.scale
+        self.mesh = mesh
+        self._vol_sharding = None
+        if mesh is not None:
+            from gan_sr_wind_field_tpu.parallel import volume_sharding
+
+            self._vol_sharding = volume_sharding(mesh)
 
     @classmethod
     def from_checkpoint(cls, cfg, checkpoint_path: str, x, y,
@@ -76,6 +86,11 @@ class WindFieldSR:
         squeeze = lr.ndim == 4
         if squeeze:
             lr, z_terrain = lr[None], z_terrain[None]
+        if self._vol_sharding is not None:
+            lr = jax.device_put(np.asarray(lr), self._vol_sharding)
+            z_terrain = jax.device_put(
+                np.asarray(z_terrain), self._vol_sharding
+            )
         out = np.asarray(self.gan.generate(self.params_G, lr, z_terrain))
         return out[0] if squeeze else out
 

@@ -122,8 +122,29 @@ def train(cfg, dataset_train, dataset_validation, x, y,
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
 
+    # graceful preemption: TPU pods get SIGTERM before eviction — finish the
+    # in-flight step, checkpoint, and exit cleanly so resume_training_from_save
+    # continues bit-exact (elastic recovery, SURVEY.md §5)
+    import signal as _signal
+
+    stop_signal = []
+
+    def _on_term(signum, frame):
+        stop_signal.append(signum)
+
+    old_handler = None
+    try:
+        old_handler = _signal.signal(_signal.SIGTERM, _on_term)
+    except ValueError:  # not the main thread (e.g. driven from a test rig)
+        pass
+
     for lr_b, hr_b, z_b in prefetched:
         if it >= niter:
+            break
+        if stop_signal:
+            status.warning(
+                f"SIGTERM at it {it}: checkpointing and exiting cleanly"
+            )
             break
         it += 1
         if bar is not None:
@@ -165,6 +186,8 @@ def train(cfg, dataset_train, dataset_validation, x, y,
                 cfg, gan, state, dataset_validation, tb, run_folder, it
             )
 
+    if old_handler is not None:
+        _signal.signal(_signal.SIGTERM, old_handler)
     if int(state.it) != start_it:
         ckpt.save_checkpoint(
             run_folder, state, keep_last=cfg_t.keep_checkpoints

@@ -77,6 +77,64 @@ class TestCheckpointRetention:
         assert len(os.listdir(str(tmp_path))) == 3
 
 
+class TestPreemption:
+    def test_sigterm_checkpoints_and_exits(self, tmp_path):
+        """SIGTERM mid-run → clean exit with a resumable checkpoint
+        (pod-preemption elastic recovery)."""
+        import signal
+        import threading
+
+        cfg = Config()
+        cfg.scale = 4
+        cfg.compute_dtype = "float32"
+        cfg.use_tensorboard_logger = False
+        cfg.display_bar = False
+        cfg.env.data_root = str(tmp_path / "data")
+        cfg.env.this_runs_folder = str(tmp_path / "run")
+        cfg.env.this_runs_tensorboard_log_folder = str(tmp_path / "run" / "tb")
+        cfg.gan_config.include_pressure = False
+        cfg.gan_config.include_z_channel = True
+        cfg.gan_config.number_of_z_layers = 4
+        cfg.gan_config.enable_slicing = True
+        cfg.gan_config.slice_size = 16
+        g = cfg.generator
+        g.num_features = 8
+        g.num_RRDB = 1
+        g.num_RDB_convs = 2
+        g.RDB_growth_chan = 4
+        g.hr_kern_size = 3
+        g.terrain_number_of_features = 4
+        cfg.discriminator.num_features = 4
+        t = cfg.training
+        t.niter = 10_000  # would run forever without the signal
+        t.val_period = 10_000
+        t.log_period = 10_000
+        t.save_model_period = 10_000
+        t.d_g_train_period = 2
+        cfg.dataset_train.batch_size = 2
+
+        setup_loggers(str(tmp_path / "log"), also_log_to_terminal=False)
+        ds_train, _, ds_val, x, y = preprocess(
+            cfg, synthetic=True, synthetic_hours=8
+        )
+        timer = threading.Timer(
+            6.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
+        )
+        timer.start()
+        try:
+            state = train(cfg, ds_train, None, x, y)
+        finally:
+            timer.cancel()
+        assert 0 < int(state.it) < 10_000
+        path = ckpt.latest_checkpoint(cfg.env.this_runs_folder)
+        assert path is not None
+        restored = ckpt.restore_checkpoint(
+            path,
+            jax.tree.map(jnp.copy, state),
+        )
+        assert int(restored.it) == int(state.it)
+
+
 class TestTrainLoopSmoke:
     def test_ten_iterations_synthetic(self, tmp_path):
         cfg = Config()

@@ -54,6 +54,21 @@ def test_tiled_large_volume_close_to_direct(rng):
     assert np.median(err) < 0.25 * np.std(np.asarray(direct))
 
 
+def test_mesh_sharded_upscale_matches_single(rng):
+    """Full-volume inference sharded over the x axis of an 8-way spatial
+    mesh == single-device result (GSPMD conv halo exchange)."""
+    from gan_sr_wind_field_tpu.parallel import make_mesh
+
+    sr, _ = _make_sr()
+    lr = rng.standard_normal((8, 8, 4, 4)).astype(np.float32) * 0.1
+    zt = rng.standard_normal((32, 32, 4, 1)).astype(np.float32)
+    direct = sr.upscale(lr, zt)
+
+    sr_mesh = WindFieldSR(sr.gan, sr.params_G, mesh=make_mesh(1, 1, 8))
+    sharded = sr_mesh.upscale(lr, zt)
+    np.testing.assert_allclose(sharded, direct, rtol=2e-4, atol=1e-5)
+
+
 def test_from_checkpoint(tmp_path, rng):
     cfg = tiny_cfg()
     x = np.arange(16, dtype=np.float32) * 150
