@@ -115,6 +115,9 @@ def download_dataset(
         invalid = {line.strip() for line in open(invalid_path)}
 
     valid_names: List[str] = []
+    static_done = os.path.isfile(
+        dfiles.static_path(os.path.join(data_root, "full_dataset_files"))
+    )
     day = start_date
     while day <= end_date:
         for sim_time in SIM_TIMES:
@@ -142,8 +145,9 @@ def download_dataset(
             try:
                 nc_fid = netCDF4.Dataset(local, mode="r")
                 try:
-                    if day == start_date and sim_time == SIM_TIMES[0]:
+                    if not static_done:  # first file that actually opens
                         _extract_static(nc_fid, data_root)
+                        static_done = True
                     z, u, v, w, p = extract_hourly_samples(
                         nc_fid, number_of_z_layers
                     )

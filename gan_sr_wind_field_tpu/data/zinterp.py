@@ -28,20 +28,28 @@ def _interp_columns(x_new: np.ndarray, x_old: np.ndarray, y_old: np.ndarray):
     yo = np.asarray(y_old, np.float64).reshape(-1, y_old.shape[-1])
     nz_old = xo.shape[-1]
 
-    # index of the interval: number of old knots <= new point (O(nz²) per
-    # column — trivial for nz ≤ 41 and fully vectorized)
-    cnt = (xo[:, None, :] <= xn[:, :, None]).sum(axis=-1)
-    hi = np.clip(cnt, 1, nz_old - 1)
-    lo = hi - 1
-    x_lo = np.take_along_axis(xo, lo, 1)
-    x_hi = np.take_along_axis(xo, hi, 1)
-    y_lo = np.take_along_axis(yo, lo, 1)
-    y_hi = np.take_along_axis(yo, hi, 1)
-    t = (xn - x_lo) / (x_hi - x_lo)
-    out = y_lo + t * (y_hi - y_lo)
-    # np.interp boundary semantics: clamp to end values
-    out = np.where(xn <= xo[:, :1], yo[:, :1], out)
-    out = np.where(xn >= xo[:, -1:], yo[:, -1:], out)
+    out = np.empty_like(xn)
+    # chunk the columns: the O(nz²) interval search below builds a
+    # (chunk, nz, nz) comparison tensor — chunking bounds it to a few MB
+    # regardless of horizontal extent
+    chunk = max(1, 4_000_000 // (nz_old * xn.shape[-1] * 8))
+    for c0 in range(0, xn.shape[0], chunk):
+        sl = slice(c0, c0 + chunk)
+        xnc, xoc, yoc = xn[sl], xo[sl], yo[sl]
+        # index of the interval: number of old knots <= new point
+        cnt = (xoc[:, None, :] <= xnc[:, :, None]).sum(axis=-1)
+        hi = np.clip(cnt, 1, nz_old - 1)
+        lo = hi - 1
+        x_lo = np.take_along_axis(xoc, lo, 1)
+        x_hi = np.take_along_axis(xoc, hi, 1)
+        y_lo = np.take_along_axis(yoc, lo, 1)
+        y_hi = np.take_along_axis(yoc, hi, 1)
+        t = (xnc - x_lo) / (x_hi - x_lo)
+        o = y_lo + t * (y_hi - y_lo)
+        # np.interp boundary semantics: clamp to end values
+        o = np.where(xnc <= xoc[:, :1], yoc[:, :1], o)
+        o = np.where(xnc >= xoc[:, -1:], yoc[:, -1:], o)
+        out[sl] = o
     return out.reshape(shape)
 
 
