@@ -210,6 +210,10 @@ class TrainingConfig:
     # TPU addition: keep only the last N checkpoints (0 = keep all, the
     # reference behaviour); a full GAN state is ~0.5 GB on disk
     keep_checkpoints: int = 0
+    # TPU addition: "float32" (default) or "bfloat16_sr" — Adam moments in
+    # bf16 with stochastic-rounding casts (ops/sr_cast.py), half the
+    # optimizer HBM at unchanged expected trajectory
+    optimizer_state_dtype: str = "float32"
 
 
 @dataclass
@@ -474,6 +478,9 @@ class Config:
             T.val_period = _get(tr, "val_period", int, T.val_period)
             T.save_model_period = _get(tr, "save_model_period", int, T.save_model_period)
             T.keep_checkpoints = _get(tr, "keep_checkpoints", int, T.keep_checkpoints)
+            T.optimizer_state_dtype = _get(
+                tr, "optimizer_state_dtype", str, T.optimizer_state_dtype
+            )
             T.log_period = _get(tr, "log_period", int, T.log_period)
 
         for sec_name, attr in (

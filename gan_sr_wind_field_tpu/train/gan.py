@@ -194,7 +194,14 @@ class WindFieldGAN:
                 txs.append(optax.add_decayed_weights(wd))
             txs.append(optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8))
             txs.append(optax.scale(-1.0))
-            return optax.chain(*txs)
+            opt = optax.chain(*txs)
+            if getattr(t, "optimizer_state_dtype", "float32") == "bfloat16_sr":
+                from gan_sr_wind_field_tpu.ops.sr_cast import (
+                    bf16_sr_optimizer_state,
+                )
+
+                opt = bf16_sr_optimizer_state(opt, seed=cfg.env.fixed_seed)
+            return opt
 
         self.opt_G = make_opt(t.adam_beta1_g, t.adam_weight_decay_g)
         self.opt_D = make_opt(t.adam_beta1_d, t.adam_weight_decay_d)
