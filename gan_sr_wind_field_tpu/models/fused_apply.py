@@ -93,9 +93,15 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
             dropout_key, 1.0 - p, (x.shape[0], 1, 1, 1, x.shape[-1])
         )
         x = jnp.where(keep, x / (1.0 - p), 0.0).astype(cdt)
-    x = conv(x, params["hr_conv1"]["kernel"], hp) + params["hr_conv1"][
-        "bias"
-    ].astype(cdt)
+    if getattr(G, "tap_stacked_hr", False) and G.hr_kern_size > 1:
+        from gan_sr_wind_field_tpu.ops.tap_conv import tap_stacked_conv3d
+
+        x = tap_stacked_conv3d(
+            x, params["hr_conv1"]["kernel"].astype(cdt), hp
+        )
+    else:
+        x = conv(x, params["hr_conv1"]["kernel"], hp)
+    x = x + params["hr_conv1"]["bias"].astype(cdt)
     return x.astype(jnp.float32)
 
 

@@ -63,6 +63,10 @@ class Generator3D(nn.Module):
     # materialising the 144-channel concat at HR resolution — profiled at
     # ~30% of the forward pass on v5e (a pure layout/copy fusion)
     split_hr_concat: bool = True
+    # final 144→3 conv via the tap-stacked reformulation (ops/tap_conv.py):
+    # 3 output channels waste 98% of the MXU lanes; stacking the xy taps
+    # into N recovers it (30 → ~2 ms measured). Same math and params.
+    tap_stacked_hr: bool = True
 
     @nn.compact
     def __call__(self, lr, z_terrain, train: bool = True, rng_key=None):
@@ -190,6 +194,21 @@ class Generator3D(nn.Module):
                 padding=(hr_pad, hr_pad, hr_pad),
                 init_scale=self.init_scale,
                 dtype=self.dtype,
+                name="hr_conv1",
+            )(x)
+        elif self.tap_stacked_hr and self.hr_kern_size > 1:
+            # few-output-channel conv via the tap-stacked reformulation
+            # (ops/tap_conv.py): same math/params, ~15x faster on the MXU
+            from gan_sr_wind_field_tpu.models.blocks import TapStackedConv
+
+            x = TapStackedConv(
+                features=self.out_channels,
+                kernel_size=_triple(self.hr_kern_size),
+                padding=_triple(hr_pad),
+                use_bias=True,
+                kernel_init=kaiming_scaled(self.init_scale),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
                 name="hr_conv1",
             )(x)
         else:

@@ -1,0 +1,61 @@
+"""Tap-stacked 3D convolution for FEW output channels.
+
+The generator's final conv (hr_conv1: k=5³, 144→3, models/generator.py)
+maps 3 output channels onto the 128-lane MXU — ~2% lane utilisation — and
+measures 30 ms/step on v5e at the bench geometry, ~400× its useful FLOPs.
+
+Reassociation (identical math): run a z-only conv whose output channels are
+the STACKED (kx·ky, C_out) xy-tap partial products — N = kx·ky·C_out lanes
+(75 for k=5, C_out=3: 59% of a lane tile instead of 2%) — then sum the
+xy-shifted slices of that partial tensor on the VPU:
+
+    P[x', y', (ix,iy,c)] = Σ_{iz,ci} X[x', y', z+iz-pz, ci] · K[ix,iy,iz,ci,c]
+    out[x, y, c]        = Σ_{ix,iy} P[x+ix-px, y+iy-py, (ix,iy,c)]
+
+Measured: 30 ms → ~2 ms forward. The backward is ALSO better-shaped under
+plain autodiff: dW contracts to N = kx·ky·C_out and dx is a z-conv
+transpose with N = C_in. Pure XLA — no Pallas needed; the shifted-slice
+sums fuse.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_DN = ("NDHWC", "DHWIO", "NDHWC")
+
+
+def tap_stacked_conv3d(x, kernel, padding):
+    """Same result as `conv_general_dilated(x, kernel, SAME-style padding)`.
+
+    x: (N, X, Y, Z, C_in); kernel: (kx, ky, kz, C_in, C_out);
+    padding: int or (px, py, pz). Accumulates the tap sum in f32.
+    """
+    kx, ky, kz, cin, cout = kernel.shape
+    if isinstance(padding, int):
+        px = py = pz = padding
+    else:
+        px, py, pz = padding
+    X, Y = x.shape[1], x.shape[2]
+
+    # (kx,ky,kz,ci,co) → z-only kernel (1,1,kz,ci, kx·ky·co); flat tap index
+    # t = (ix·ky + iy)·co + c (C-order of the reshape)
+    kstack = jnp.transpose(kernel, (2, 3, 0, 1, 4)).reshape(
+        1, 1, kz, cin, kx * ky * cout
+    )
+    partial = jax.lax.conv_general_dilated(
+        x, kstack, window_strides=(1, 1, 1),
+        padding=[(0, 0), (0, 0), (pz, pz)], dimension_numbers=_DN,
+    )
+    ppad = jnp.pad(
+        partial, ((0, 0), (px, px), (py, py), (0, 0), (0, 0))
+    )
+    out = jnp.zeros(x.shape[:1] + (X, Y, x.shape[3], cout), jnp.float32)
+    for ix in range(kx):
+        for iy in range(ky):
+            t0 = (ix * ky + iy) * cout
+            out = out + ppad[
+                :, ix : ix + X, iy : iy + Y, :, t0 : t0 + cout
+            ].astype(jnp.float32)
+    return out.astype(x.dtype)
