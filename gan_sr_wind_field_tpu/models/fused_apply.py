@@ -48,6 +48,14 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
     trunk_fn(x) runs the RRDB trunk on the feature tensor; everything else
     (head, long skip, upsampling, terrain branch, HR convs, channel
     dropout) matches Generator3D.__call__ layer by layer.
+
+    NOTE on hr_conv0 (the 144→144 k=5³ conv, 55 ms/step in-graph — the
+    biggest remaining op): a fused Pallas kernel was prototyped and parity-
+    tested, but XLA's schedule already BEATS the lane-padded MXU ideal
+    (55 ms vs 62 ms at 56% N-padding), the kernel's best case (~45 ms:
+    terrain branch + 16-channel remainder overheads) gains only ~2-3%
+    blended, and its ~170-matmul unrolled body compiled pathologically
+    slowly under Mosaic. Deliberately kept on XLA.
     """
     cdt = G.dtype or jnp.float32
 
@@ -76,15 +84,15 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
 
     hp = (G.hr_kern_size - 1) // 2
     if G.split_hr_concat:
-        x = conv(x, params["hr_conv0_x"]["kernel"], hp) + conv(
-            t, params["hr_conv0_t"]["kernel"], hp
+        x = lrelu(
+            conv(x, params["hr_conv0_x"]["kernel"], hp)
+            + conv(t, params["hr_conv0_t"]["kernel"], hp)
         )
     else:
-        x = conv(
+        x = lrelu(conv(
             jnp.concatenate([x, t], axis=-1),
             params["hr_conv0"]["Conv_0"]["kernel"], hp,
-        )
-    x = lrelu(x)
+        ))
     # channel dropout (torch Dropout3d semantics, flax Dropout
     # broadcast_dims=(1,2,3)): zero whole channels, rescale the rest
     p = G.dropout_probability
