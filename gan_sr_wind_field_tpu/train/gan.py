@@ -154,10 +154,19 @@ class WindFieldGAN:
         self.use_adv = (self.w_adv != 0.0) or (t.d_g_train_ratio > 0)
 
         # optional fused Pallas RRDB-trunk kernel for no-grad G forwards
-        # (D train branch + inference); single-device only — pallas calls
-        # are opaque to GSPMD so the DP/TP-sharded step keeps the XLA trunk
+        # (D train branch + inference). Pallas calls are opaque to GSPMD, so
+        # on data-parallel-only meshes the fused forward runs under
+        # shard_map (each device applies the kernel to its batch shard);
+        # tensor/spatial-sharded meshes keep the XLA trunk (its operands
+        # would need halo/channel collectives inside the kernel).
+        dp_only = mesh is not None and all(
+            mesh.shape.get(ax, 1) == 1 for ax in ("model", "spatial")
+        )
         self.use_fused_trunk = getattr(cfg, "use_fused_trunk", False) and (
-            mesh is None or mesh.size == 1
+            mesh is None or mesh.size == 1 or dp_only
+        )
+        self._fused_shard_map = (
+            self.use_fused_trunk and mesh is not None and mesh.size > 1
         )
         self._pallas_interpret = jax.default_backend() == "cpu"
 
@@ -265,10 +274,22 @@ class WindFieldGAN:
             )
 
             if fused_supported(self.G, lr.shape):
-                return generate_fused(
-                    self.G, params_G, lr, z,
+                fn = functools.partial(
+                    generate_fused, self.G,
                     interpret=self._pallas_interpret,
                 )
+                if self._fused_shard_map:
+                    from jax import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    # params replicated, batch sharded over 'data'; each
+                    # device runs the kernel on its local shard
+                    fn = shard_map(
+                        fn, mesh=self.mesh,
+                        in_specs=(P(), P("data"), P("data")),
+                        out_specs=P("data"), check_rep=False,
+                    )
+                return fn(params_G, lr, z)
         return self.G.apply({"params": params_G}, lr, z, train=False)
 
     def _g_forward_train(self, params_G, lr, z, train, dropout_key):
@@ -283,7 +304,11 @@ class WindFieldGAN:
                 apply_trainable,
             )
 
-            if fused_supported(self.G, lr.shape) and not self.G.remat:
+            # single-device only: the custom-VJP backward's gradients would
+            # need explicit psums under shard_map — the G update keeps
+            # XLA+GSPMD on meshes (its fused gain is ~2% anyway)
+            if (fused_supported(self.G, lr.shape) and not self.G.remat
+                    and not self._fused_shard_map):
                 return apply_trainable(
                     self.G, params_G, lr, z, train=train,
                     dropout_key=dropout_key,

@@ -83,6 +83,45 @@ def test_dp_tp_step_runs(gan, rng):
     assert int(state.it) == 3
 
 
+def test_dp_fused_trunk_shard_map_matches_single(rng):
+    """The Pallas fused no-grad forward runs under shard_map on DP-only
+    meshes; its result must match the single-device fused forward."""
+    cfg = tiny_cfg()
+    cfg.use_fused_trunk = True
+    cfg.generator.dropout_probability = 0.0
+    x = np.arange(16, dtype=np.float32) * 150
+
+    gan_single = WindFieldGAN(cfg, x, x)
+    assert gan_single.use_fused_trunk and not gan_single._fused_shard_map
+    state = gan_single.init_state(
+        jax.random.key(0), (8, 4, 4, 4, 4), (8, 16, 16, 4, 3)
+    )
+    lr, hr, z = make_batch(rng, n=8)
+    ref = np.asarray(gan_single.generate(state.params_G, lr, z))
+
+    mesh = make_mesh(8, 1)
+    gan_dp = WindFieldGAN(cfg, x, x, mesh=mesh)
+    assert gan_dp._fused_shard_map
+    ds = batch_sharding(mesh)
+    lr_s, z_s = (jax.device_put(a, ds) for a in (lr, z))
+    got = np.asarray(gan_dp.generate(state.params_G, lr_s, z_s))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+    # and the full D-branch train step runs on the mesh with the kernel
+    from gan_sr_wind_field_tpu.parallel import shard_state
+
+    s = shard_state(
+        gan_dp.init_state(
+            jax.random.key(1), (8, 4, 4, 4, 4), (8, 16, 16, 4, 3)
+        ),
+        mesh,
+    )
+    s = s.replace(it=jnp.int32(2))  # period=2, ratio=1 → D block
+    hr_s = jax.device_put(hr, ds)
+    s, m = gan_dp.train_step(s, lr_s, hr_s, z_s)
+    assert np.isfinite(float(m["D_train_loss"]))
+
+
 def test_pad_batch_to():
     from gan_sr_wind_field_tpu.parallel.mesh import pad_batch_to
 
