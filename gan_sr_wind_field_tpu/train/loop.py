@@ -81,6 +81,12 @@ def train(cfg, dataset_train, dataset_validation, x, y,
     rng_np = np.random.default_rng(
         cfg.env.fixed_seed + (jax.process_index() if n_proc > 1 else 0)
     )
+    if local_batch > len(dataset_train):
+        raise ValueError(
+            f"batch_size {local_batch} exceeds the train split "
+            f"({len(dataset_train)} samples) — with drop_remainder the "
+            f"loop would produce zero batches"
+        )
     probe_lr, probe_hr, _probe_z = dataset_train.get(0, rng_np)
 
     state = gan.init_state(
