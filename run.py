@@ -104,6 +104,18 @@ def main(argv=None):
     if os.environ.get("WINDSR_DEBUG_NANS"):
         jax.config.update("jax_debug_nans", True)
 
+    # persistent compilation cache: TPU compiles of the full train step run
+    # 1-5 minutes; cache them across process restarts (resume, sweeps, eval)
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser(cfg.env.root_path), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        status.warning(f"compilation cache unavailable: {e}")
+
     status.info(f"jax devices: {jax.devices()}")
 
     from gan_sr_wind_field_tpu.data import preprocess
