@@ -214,6 +214,11 @@ class TrainingConfig:
     # bf16 with stochastic-rounding casts (ops/sr_cast.py), half the
     # optimizer HBM at unchanged expected trajectory
     optimizer_state_dtype: str = "float32"
+    # documented fix (off by default for parity): the reference parses
+    # generator.max_norm but its clip call is commented out
+    # (wind_field_GAN_3D.py:458-459); enabling this applies global-norm
+    # gradient clipping at max_norm in both optimizers
+    use_grad_clipping: bool = False
 
 
 @dataclass
@@ -480,6 +485,9 @@ class Config:
             T.keep_checkpoints = _get(tr, "keep_checkpoints", int, T.keep_checkpoints)
             T.optimizer_state_dtype = _get(
                 tr, "optimizer_state_dtype", str, T.optimizer_state_dtype
+            )
+            T.use_grad_clipping = _get(
+                tr, "use_grad_clipping", bool, T.use_grad_clipping
             )
             T.log_period = _get(tr, "log_period", int, T.log_period)
 

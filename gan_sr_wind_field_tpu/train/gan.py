@@ -199,6 +199,12 @@ class WindFieldGAN:
         # moment updates; lr applied manually from the traced-it schedule.
         def make_opt(beta1, wd):
             txs = []
+            if getattr(t, "use_grad_clipping", False):
+                # documented fix: the reference configures max_norm but its
+                # clip_grad_norm_ call is commented out (:458-459)
+                txs.append(
+                    optax.clip_by_global_norm(cfg.generator.max_norm)
+                )
             if wd:
                 txs.append(optax.add_decayed_weights(wd))
             txs.append(optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8))

@@ -2,6 +2,34 @@
 NaN guard, validation metrics — all on a tiny model/volume so the jitted
 step compiles fast on the CPU test mesh."""
 
+
+def test_grad_clipping_bounds_update():
+    """use_grad_clipping applies global-norm clipping at generator.max_norm
+    (the reference's commented-out clip, documented fix).
+
+    Adam is scale-invariant except through its eps, so clip to below
+    eps-scale: the clipped first-step update must be ≪ the unclipped one
+    (which Adam normalises to ≈1 per element)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    x = np.arange(16, dtype=np.float32) * 150
+    p = {"w": jnp.full((4,), 2.0)}
+    huge = {"w": jnp.full((4,), 1e6)}
+
+    cfg = tiny_cfg()
+    cfg.training.use_grad_clipping = True
+    cfg.generator.max_norm = 1e-9
+    gan = WindFieldGAN(cfg, x, x)
+    u_clip, _ = gan.opt_G.update(huge, gan.opt_G.init(p), p)
+
+    gan2 = WindFieldGAN(tiny_cfg(), x, x)
+    u_free, _ = gan2.opt_G.update(huge, gan2.opt_G.init(p), p)
+
+    assert np.max(np.abs(np.asarray(u_free["w"]))) > 0.9  # Adam ≈ ±1
+    assert np.max(np.abs(np.asarray(u_clip["w"]))) < 0.1  # clipped ≪ 1
+
 import numpy as np
 import pytest
 
