@@ -290,10 +290,12 @@ class WindFieldGAN:
 
                     # params replicated, batch sharded over 'data'; each
                     # device runs the kernel on its local shard
+                    # check_vma off: the pallas_call's out_shape carries no
+                    # varying-mesh-axes annotation
                     fn = shard_map(
                         fn, mesh=self.mesh,
                         in_specs=(P(), P("data"), P("data")),
-                        out_specs=P("data"), check_rep=False,
+                        out_specs=P("data"), check_vma=False,
                     )
                 return fn(params_G, lr, z)
         return self.G.apply({"params": params_G}, lr, z, train=False)
