@@ -117,6 +117,10 @@ class TestPreemption:
         ds_train, _, ds_val, x, y = preprocess(
             cfg, synthetic=True, synthetic_hours=8
         )
+        # warm the compile caches so the timed run's first step is fast —
+        # otherwise a cold compile could eat the whole timer window and the
+        # signal would land before any step completed
+        train(cfg, ds_train, None, x, y, max_steps=1)
         timer = threading.Timer(
             6.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
         )
