@@ -57,6 +57,33 @@ def sample_is_invalid(z, zag, u, v, w, p) -> bool:
     return False
 
 
+class _ScipyNC:
+    """netCDF3-classic reader shim over scipy.io.netcdf_file exposing the
+    same ``fid[key][:]`` / ``close()`` surface as netCDF4.Dataset. Lets the
+    downloader run (and be integration-tested) where netCDF4 is absent."""
+
+    def __init__(self, path: str):
+        from scipy.io import netcdf_file
+
+        self._f = netcdf_file(path, "r", mmap=False)
+
+    def __getitem__(self, key):
+        return self._f.variables[key]
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def open_nc(path: str):
+    """Open a raw simulation file: netCDF4 if available (HDF5-backed
+    files), else scipy's netCDF3-classic reader."""
+    try:
+        import netCDF4  # deferred: heavy optional dep
+    except ImportError:
+        return _ScipyNC(path)
+    return netCDF4.Dataset(path, mode="r")
+
+
 def _read_var(nc_fid, key, z_slice):
     """(t, z, y, x) masked → (t, x, y, z) float with z reversed (ground
     first), last timestep dropped, reference crop applied."""
@@ -100,8 +127,6 @@ def download_dataset(
     """
     from urllib import request
 
-    import netCDF4  # deferred: heavy optional dep
-
     log = logging.getLogger("status")
     raw_dir = os.path.join(data_root, "downloaded_raw_bessaker_data")
     os.makedirs(raw_dir, exist_ok=True)
@@ -114,6 +139,14 @@ def download_dataset(
     if os.path.isfile(invalid_path):
         invalid = {line.strip() for line in open(invalid_path)}
 
+    # Hours rejected by the validity filter are remembered here so a
+    # simulation with some filtered hours still counts as fully processed
+    # (otherwise its raw .nc would be re-parsed on every call).
+    filtered_path = os.path.join(raw_dir, "filtered_samples.txt")
+    filtered = set()
+    if os.path.isfile(filtered_path):
+        filtered = {line.strip() for line in open(filtered_path)}
+
     valid_names: List[str] = []
     static_done = os.path.isfile(
         dfiles.static_path(os.path.join(data_root, "full_dataset_files"))
@@ -123,9 +156,11 @@ def download_dataset(
         for sim_time in SIM_TIMES:
             names = _hour_names(day, sim_time)
             if all(
-                os.path.isfile(dfiles.sample_path(folder, n)) for n in names
+                n in filtered
+                or os.path.isfile(dfiles.sample_path(folder, n))
+                for n in names
             ):
-                valid_names.extend(names)
+                valid_names.extend(n for n in names if n not in filtered)
                 continue
             fname = raw_filename(day, sim_time)
             if fname in invalid:
@@ -143,7 +178,7 @@ def download_dataset(
                     invalid.add(fname)
                     continue
             try:
-                nc_fid = netCDF4.Dataset(local, mode="r")
+                nc_fid = open_nc(local)
                 try:
                     if not static_done:  # first file that actually opens
                         _extract_static(nc_fid, data_root)
@@ -169,6 +204,10 @@ def download_dataset(
                     z[t], zag[t], u[t], v[t], w[t], p[t]
                 ):
                     log.warning(f"filtered invalid sample {name}")
+                    if name not in filtered:
+                        with open(filtered_path, "a") as f:
+                            f.write(name + "\n")
+                        filtered.add(name)
                     continue
                 dfiles.write_sample(
                     folder, name, z[t], zag[t], u[t], v[t], w[t], p[t]

@@ -90,11 +90,15 @@ def read_max_stats(folder: str, name: str):
 
 def write_max_stats(folder: str, name: str, z, zag, u, v, w, p) -> None:
     os.makedirs(max_stats_dir(folder), exist_ok=True)
+    # uvw_max is the SIGNED max like the reference's
+    # np.max(concatenate((u, v, w))) (download_data.py:474) — NOT max |.| —
+    # so caches built here normalize identically to reference-built caches
+    # (and imported reference .pth checkpoints see the same input scale).
     stats = (
         float(np.min(z)),
         float(np.max(z)),
         float(np.max(zag)),
-        float(max(np.abs(u).max(), np.abs(v).max(), np.abs(w).max())),
+        float(max(np.max(u), np.max(v), np.max(w))),
         float(np.min(p)),
         float(np.max(p)),
     )

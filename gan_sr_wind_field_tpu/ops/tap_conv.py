@@ -51,7 +51,10 @@ def tap_stacked_conv3d(x, kernel, padding):
     ppad = jnp.pad(
         partial, ((0, 0), (px, px), (py, py), (0, 0), (0, 0))
     )
-    out = jnp.zeros(x.shape[:1] + (X, Y, x.shape[3], cout), jnp.float32)
+    # z output extent follows the z conv (Z + 2·pz − kz + 1), not the input
+    out = jnp.zeros(
+        x.shape[:1] + (X, Y, partial.shape[3], cout), jnp.float32
+    )
     for ix in range(kx):
         for iy in range(ky):
             t0 = (ix * ky + iy) * cout

@@ -78,6 +78,11 @@ def train(cfg, dataset_train, dataset_validation, x, y,
     # (pipeline assembles global arrays via make_array_from_process_local_data)
     n_proc = jax.process_count()
     local_batch = max(batch_size // n_proc, 1) if n_proc > 1 else batch_size
+    if n_proc > 1 and local_batch * n_proc != batch_size:
+        logging.getLogger("status").warning(
+            f"batch_size {batch_size} is not divisible by process_count "
+            f"{n_proc}; effective global batch is {local_batch * n_proc}"
+        )
     rng_np = np.random.default_rng(
         cfg.env.fixed_seed + (jax.process_index() if n_proc > 1 else 0)
     )

@@ -287,13 +287,21 @@ def load_reference_checkpoint(
     """
     import torch
 
-    sd_g = torch.load(g_path, map_location="cpu")
+    def _load(path):
+        # Only plain state_dict tensors are expected; weights_only=True
+        # avoids unpickling arbitrary objects from third-party .pth files.
+        try:
+            return torch.load(path, map_location="cpu", weights_only=True)
+        except TypeError:  # torch too old for the kwarg
+            return torch.load(path, map_location="cpu")
+
+    sd_g = _load(g_path)
     params_G = import_generator_state_dict(sd_g, generator)
     params_D = batch_stats_D = None
     if d_path is not None:
         if discriminator is None:
             raise ValueError("d_path given but no discriminator module")
-        sd_d = torch.load(d_path, map_location="cpu")
+        sd_d = _load(d_path)
         params_D, batch_stats_D = import_discriminator_state_dict(
             sd_d, discriminator
         )
