@@ -86,7 +86,31 @@ def build(batch_size: int, use_remat: bool = False):
     return gan, state, lr, hr, z
 
 
-def main():
+def _flops_per_pair(gan, state, lr, hr, z):
+    """Total FLOPs for one G-step + one D-step from XLA's cost analysis of
+    the compiled train step (both lax.cond branches are counted once each in
+    the single program, which is exactly one G/D pair)."""
+    import jax
+
+    try:
+        compiled = (
+            jax.jit(gan.train_step, static_argnames=("augment",))
+            .lower(state, lr, hr, z, augment=True)
+            .compile()
+        )
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+# Peak bf16 matmul throughput used for the MFU estimate (per chip).
+PEAK_FLOPS = {"v5 lite": 197e12 / 2, "v4": 275e12}
+
+
+def main(retry_reason=None):
     import jax
 
     batch_size = 32
@@ -135,7 +159,27 @@ def main():
 
     voxels = batch_size * 64 * 64 * 10
     vps = 2 * voxels / per_pair
-    print(json.dumps({
+
+    # --- North-star accounting -------------------------------------------
+    # MFU: XLA-counted FLOPs for one G+D pair over the measured pair time,
+    # against the chip's peak bf16 matmul rate.
+    pair_flops = _flops_per_pair(gan, state, lr, hr, z)
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_FLOPS.items() if k in kind), None)
+    mfu = (
+        round(pair_flops / per_pair / peak, 4)
+        if pair_flops and peak else None
+    )
+    # v4-8 projection toward the >=20x target: measured per-chip throughput
+    # x peak-FLOPs ratio (v4/v5e bf16) x 8 chips x DP efficiency. The DP
+    # efficiency is an estimate (0.95): pure data parallelism over ICI
+    # all-reduces ~183 MB of fp32 grads per step against a ~500 ms step —
+    # well under ICI bandwidth — and the dp mesh path is parity-tested on
+    # the 8-device virtual mesh (tests/test_parallel.py); no multi-chip
+    # hardware exists in this environment to measure it directly.
+    DP_EFF = 0.95
+    v48_vps = vps * (PEAK_FLOPS["v4"] / peak if peak else 1.0) * 8 * DP_EFF
+    out = {
         "metric": "train_step_voxels_per_sec_per_chip",
         "value": round(vps, 1),
         "unit": "HR voxels/s",
@@ -144,14 +188,27 @@ def main():
             "batch": batch_size,
             "g_step_ms": round(t_g * 1e3, 2),
             "d_step_ms": round(t_d * 1e3, 2),
+            "pair_gflops": round(pair_flops / 1e9, 1) if pair_flops else None,
+            "mfu": mfu,
+            "device_kind": kind,
+            "v4_8_projection": {
+                "voxels_per_sec": round(v48_vps, 1),
+                "vs_baseline": round(v48_vps / BASELINE_VOXELS_PER_SEC, 2),
+                "assumptions": "peak-FLOPs ratio v4/v5e, 8 chips, "
+                               f"dp_efficiency={DP_EFF} (estimated; "
+                               "virtual-mesh parity-tested only)",
+            },
         },
-    }))
+    }
+    if retry_reason:
+        out["retried"] = retry_reason
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # remote-tunnel runs can flake; one clean retry
-        print(f"# bench attempt failed ({type(e).__name__}), retrying",
-              file=sys.stderr)
-        main()
+        reason = f"{type(e).__name__}: {e}"
+        print(f"# bench attempt failed ({reason}), retrying", file=sys.stderr)
+        main(retry_reason=reason[:300])

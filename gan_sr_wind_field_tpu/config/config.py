@@ -164,6 +164,13 @@ class DatasetConfig:
     batch_size: int = 16
     data_aug_flip: bool = True
     data_aug_rot: bool = True
+    # Deterministic evaluation track (this framework's addition): disables
+    # augmentation and fixes patch offsets for this split so repeated
+    # sweeps are comparable. The reference keeps random augmentation on
+    # validation (quirk-parity default False), which makes val PSNR swing
+    # ~10 dB between sweeps — too noisy for ASHA decisions or for the
+    # 33-41 dB band comparison.
+    deterministic: bool = False
 
 
 @dataclass
@@ -507,6 +514,7 @@ class Config:
             ds.batch_size = _get(sec, "batch_size", int, ds.batch_size)
             ds.data_aug_flip = _get(sec, "data_aug_flip", bool, ds.data_aug_flip)
             ds.data_aug_rot = _get(sec, "data_aug_rot", bool, ds.data_aug_rot)
+            ds.deterministic = _get(sec, "deterministic", bool, ds.deterministic)
             setattr(cfg, attr, ds)
 
         par = section("PARALLEL")

@@ -119,11 +119,16 @@ def preprocess(cfg, synthetic: bool = False, synthetic_hours: int = 48):
     ds_test = WindDataset(
         folder, test_names, enable_slicing=False, is_test=True, **common
     )
+    # deterministic val track disables augmentation (offsets are fixed by
+    # the sweep RNG seed in train/loop.run_validation / search/driver)
+    val_det = bool(cfg.dataset_val and cfg.dataset_val.deterministic)
     ds_val = WindDataset(
         folder, val_names,
         enable_slicing=g.enable_slicing,
-        data_aug_rot=cfg.dataset_val.data_aug_rot if cfg.dataset_val else False,
-        data_aug_flip=cfg.dataset_val.data_aug_flip if cfg.dataset_val else False,
+        data_aug_rot=bool(cfg.dataset_val and cfg.dataset_val.data_aug_rot
+                          and not val_det),
+        data_aug_flip=bool(cfg.dataset_val and cfg.dataset_val.data_aug_flip
+                           and not val_det),
         **common,
     )
 

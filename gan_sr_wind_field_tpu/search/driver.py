@@ -130,8 +130,15 @@ def run_trial(gan: WindFieldGAN, cfg, ds_train, ds_val, point, asha,
             )
             if it % val_period == 0 or it in rungs:
                 psnrs = []
+                # deterministic track: identical patch offsets every sweep,
+                # so ASHA compares trials on a stable metric
+                vrng = (
+                    np.random.default_rng(cfg.env.fixed_seed)
+                    if cfg.dataset_val and cfg.dataset_val.deterministic
+                    else rng_np
+                )
                 for bi, (vlr, vhr, vz) in enumerate(
-                    ds_val.batches(batch_size, rng_np, shuffle=False,
+                    ds_val.batches(batch_size, vrng, shuffle=False,
                                    drop_remainder=False)
                 ):
                     m, _bs = gan.val_step(
@@ -159,10 +166,17 @@ def param_search(cfg, ds_train, ds_val, x, y, num_samples: int = 250,
     """Run the sweep; writes JSONL of trial records + best point summary."""
     status = logging.getLogger("status")
     gan = WindFieldGAN(cfg, x, y)  # ONE compiled step for every trial
-    asha = ASHAScheduler(max_t=cfg.training.niter)
     batch_size = cfg.dataset_train.batch_size if cfg.dataset_train else 8
 
     run_folder = cfg.env.this_runs_folder or "."
+    # sharded sweeps share rung state via per-shard JSONLs in the (shared)
+    # run folder, so promotion decisions see the whole population like the
+    # reference's single Ray head (param_search.py:298-303)
+    asha = ASHAScheduler(
+        max_t=cfg.training.niter,
+        share_dir=run_folder if num_shards > 1 else None,
+        shard_index=shard_index,
+    )
     out_path = out_path or os.path.join(run_folder, "param_search.jsonl")
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
 

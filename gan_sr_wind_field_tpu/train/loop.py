@@ -212,7 +212,12 @@ def run_validation(cfg, gan: WindFieldGAN, state, dataset_validation, tb,
     """Full validation sweep: averaged losses/metrics + figures + field dump
     (reference train.py:176-336)."""
     status = logging.getLogger("status")
-    rng_np = np.random.default_rng(cfg.env.fixed_seed + it)
+    # deterministic track: same patch offsets every sweep (aug is already
+    # off, data/__init__.py) so PSNR curves are comparable across its/runs
+    deterministic = bool(cfg.dataset_val and cfg.dataset_val.deterministic)
+    rng_np = np.random.default_rng(
+        cfg.env.fixed_seed if deterministic else cfg.env.fixed_seed + it
+    )
     batch_size = cfg.dataset_val.batch_size if cfg.dataset_val else 1
 
     sums, count = {}, 0

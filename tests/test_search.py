@@ -32,6 +32,31 @@ class TestASHA:
         a = ASHAScheduler(max_t=100)
         assert not a.report(100, 99.0)
 
+    def test_sharded_rungs_match_single_shard(self, tmp_path):
+        """Two shards sharing rung files make the same promotion decisions
+        as one scheduler seeing the whole population in arrival order."""
+        events = [
+            (10, 30.0), (10, 35.0), (10, 20.0), (10, 36.0), (10, 34.0),
+            (10, 5.0), (30, 33.0), (30, 40.0), (30, 10.0), (30, 39.0),
+        ]
+        kw = dict(max_t=1000, grace_period=10, reduction_factor=3)
+        single = ASHAScheduler(**kw)
+        expected = [single.report(it, m) for it, m in events]
+
+        shards = [
+            ASHAScheduler(**kw, share_dir=str(tmp_path), shard_index=0),
+            ASHAScheduler(**kw, share_dir=str(tmp_path), shard_index=1),
+        ]
+        got = [
+            shards[i % 2].report(it, m) for i, (it, m) in enumerate(events)
+        ]
+        assert got == expected
+        # without sharing, each shard sees only half the population and
+        # promotes a trial the full population would have cut
+        lone = [ASHAScheduler(**kw), ASHAScheduler(**kw)]
+        alone = [lone[i % 2].report(it, m) for i, (it, m) in enumerate(events)]
+        assert alone != expected
+
 
 class TestSampling:
     def test_points_in_bounds(self):
