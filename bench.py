@@ -107,7 +107,7 @@ def _flops_per_pair(gan, state, lr, hr, z):
 
 
 # Peak bf16 matmul throughput used for the MFU estimate (per chip).
-PEAK_FLOPS = {"v5 lite": 197e12 / 2, "v4": 275e12}
+PEAK_FLOPS = {"v5 lite": 197e12, "v4": 275e12}
 
 
 def main(retry_reason=None):

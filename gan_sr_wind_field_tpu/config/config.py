@@ -267,6 +267,10 @@ class Config:
     # run no-grad G forwards (D train branch, validation SR, serving) through
     # the fused Pallas RRDB-trunk kernel (ops/pallas/rdb_trunk.py)
     use_fused_trunk: bool = False
+    # run hr_conv0 as the channel-split Pallas head kernel
+    # (ops/pallas/hr_head.py) on the fused forward paths; requires
+    # use_fused_trunk (the flax/GSPMD path keeps XLA)
+    use_pallas_head: bool = False
 
     env: EnvConfig = field(default_factory=EnvConfig)
     gan_config: GANConfig = field(default_factory=GANConfig)
@@ -323,6 +327,9 @@ class Config:
             cfg.param_dtype = _get(base, "param_dtype", str, cfg.param_dtype)
             cfg.use_pallas_stencil = _get(
                 base, "use_pallas_stencil", bool, cfg.use_pallas_stencil
+            )
+            cfg.use_pallas_head = _get(
+                base, "use_pallas_head", bool, cfg.use_pallas_head
             )
             cfg.use_fused_trunk = _get(
                 base, "use_fused_trunk", bool, cfg.use_fused_trunk

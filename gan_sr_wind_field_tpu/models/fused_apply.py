@@ -42,20 +42,20 @@ def fused_supported(G, lr_shape) -> bool:
 
 
 def generator_forward(G, params, lr, z_terrain, trunk_fn,
-                      train: bool = False, dropout_key=None):
+                      train: bool = False, dropout_key=None,
+                      interpret: bool = False):
     """Raw-JAX generator forward with a pluggable trunk.
 
     trunk_fn(x) runs the RRDB trunk on the feature tensor; everything else
     (head, long skip, upsampling, terrain branch, HR convs, channel
     dropout) matches Generator3D.__call__ layer by layer.
 
-    NOTE on hr_conv0 (the 144→144 k=5³ conv, 55 ms/step in-graph — the
-    biggest remaining op): a fused Pallas kernel was prototyped and parity-
-    tested, but XLA's schedule already BEATS the lane-padded MXU ideal
-    (55 ms vs 62 ms at 56% N-padding), the kernel's best case (~45 ms:
-    terrain branch + 16-channel remainder overheads) gains only ~2-3%
-    blended, and its ~170-matmul unrolled body compiled pathologically
-    slowly under Mosaic. Deliberately kept on XLA.
+    hr_conv0 (the 144→144 k=5³ conv — the biggest op outside the trunk)
+    optionally runs as the channel-split Pallas head kernel
+    (ops/pallas/hr_head.py, ``G.pallas_head``): XLA's direct schedule is
+    capped at 56% MXU lane utilisation by the 144→256 lane padding, and a
+    v1 per-tap kernel lost to it (~170-matmul body, rejected); the
+    8-tap-group channel-split design packs lanes exactly.
     """
     cdt = G.dtype or jnp.float32
 
@@ -84,10 +84,56 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
 
     hp = (G.hr_kern_size - 1) // 2
     if G.split_hr_concat:
-        x = lrelu(
-            conv(x, params["hr_conv0_x"]["kernel"], hp)
-            + conv(t, params["hr_conv0_t"]["kernel"], hp)
+        Wx = params["hr_conv0_x"]["kernel"]
+        Wt = params["hr_conv0_t"]["kernel"]
+    else:
+        W = params["hr_conv0"]["Conv_0"]["kernel"]
+        Wx, Wt = W[:, :, :, : x.shape[-1]], W[:, :, :, x.shape[-1]:]
+
+    use_ph = False
+    if getattr(G, "pallas_head", False):
+        from gan_sr_wind_field_tpu.ops.pallas.hr_head import head_fusable
+
+        use_ph = interpret or head_fusable(
+            x.shape, G.hr_kern_size, Wx.shape[-1]
         )
+
+    p = G.dropout_probability
+    if use_ph:
+        from gan_sr_wind_field_tpu.ops.pallas.hr_head import (
+            HeadMeta,
+            hr_head,
+        )
+        from gan_sr_wind_field_tpu.ops.tap_conv import tap_stacked_conv3d
+
+        dmask = None
+        if train and p > 0.0:
+            # same draw shape as the flax/XLA path → identical masks for
+            # the same key (training trajectories coincide)
+            keep = jax.random.bernoulli(
+                dropout_key, 1.0 - p,
+                (x.shape[0], 1, 1, 1, Wx.shape[-1]),
+            ).reshape(x.shape[0], Wx.shape[-1])
+            dmask = jnp.where(keep, 1.0 / (1.0 - p), 0.0).astype(cdt)
+        meta = HeadMeta(
+            k=G.hr_kern_size, negative_slope=G.negative_slope, cm=128,
+            interpret=interpret,
+        )
+        h_main, h_rem = hr_head(
+            meta, Wx.astype(cdt), Wt.astype(cdt), x, t, dmask
+        )
+        # hr_conv1 is linear in input channels — run it on the split
+        # halves (tap-stacked: 3 output channels) and sum
+        W1 = params["hr_conv1"]["kernel"].astype(cdt)
+        cm = h_main.shape[-1]
+        x = tap_stacked_conv3d(h_main, W1[:, :, :, :cm], hp)
+        if h_rem.shape[-1]:
+            x = x + tap_stacked_conv3d(h_rem, W1[:, :, :, cm:], hp)
+        x = x + params["hr_conv1"]["bias"].astype(cdt)
+        return x.astype(jnp.float32)
+
+    if G.split_hr_concat:
+        x = lrelu(conv(x, Wx, hp) + conv(t, Wt, hp))
     else:
         x = lrelu(conv(
             jnp.concatenate([x, t], axis=-1),
@@ -95,7 +141,6 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
         ))
     # channel dropout (torch Dropout3d semantics, flax Dropout
     # broadcast_dims=(1,2,3)): zero whole channels, rescale the rest
-    p = G.dropout_probability
     if train and p > 0.0:
         keep = jax.random.bernoulli(
             dropout_key, 1.0 - p, (x.shape[0], 1, 1, 1, x.shape[-1])
@@ -132,4 +177,5 @@ def generate_fused(G, params, lr, z_terrain, interpret: bool = False):
             interpret=interpret,
         )
 
-    return generator_forward(G, params, lr, z_terrain, trunk_fn)
+    return generator_forward(G, params, lr, z_terrain, trunk_fn,
+                             interpret=interpret)

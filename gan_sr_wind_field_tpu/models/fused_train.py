@@ -201,5 +201,5 @@ def apply_trainable(G, params, lr, z_terrain, train: bool = True,
 
     return generator_forward(
         G, params, lr, z_terrain, trunk_fn,
-        train=train, dropout_key=dropout_key,
+        train=train, dropout_key=dropout_key, interpret=interpret,
     )

@@ -67,6 +67,10 @@ class Generator3D(nn.Module):
     # 3 output channels waste 98% of the MXU lanes; stacking the xy taps
     # into N recovers it (30 → ~2 ms measured). Same math and params.
     tap_stacked_hr: bool = True
+    # run hr_conv0+lrelu+dropout as the channel-split Pallas head kernel
+    # (ops/pallas/hr_head.py) on the fused forward paths
+    # (models/fused_apply.py) — the flax __call__ itself keeps XLA
+    pallas_head: bool = False
 
     @nn.compact
     def __call__(self, lr, z_terrain, train: bool = True, rng_key=None):

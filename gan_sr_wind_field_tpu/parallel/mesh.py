@@ -85,6 +85,23 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _place(x, sharding: NamedSharding):
+    """Place one array with ``sharding``, multi-host aware.
+
+    On pods `jax.device_put` rejects shardings that span non-addressable
+    devices; every process holds the full (identically-computed) array, so
+    assemble the global array from the process-local copy instead. Typed
+    PRNG keys round-trip through their raw key data."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    if jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+        kd = jax.make_array_from_process_local_data(
+            sharding, np.asarray(jax.random.key_data(x))
+        )
+        return jax.random.wrap_key_data(kd)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+
 def _param_spec(path_str: str, leaf, tp: int) -> P:
     """Tensor-parallel spec for one parameter leaf.
 
@@ -112,7 +129,7 @@ def shard_params(params, mesh: Mesh):
     def place(path, leaf):
         path_str = "/".join(str(p) for p in path)
         spec = _param_spec(path_str, leaf, tp)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return _place(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)
 
@@ -123,13 +140,13 @@ def shard_state(state, mesh: Mesh):
     rep = replicate(mesh)
 
     def rep_put(tree):
-        return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+        return jax.tree.map(lambda x: _place(x, rep), tree)
 
     params_G = shard_params(state.params_G, mesh)
     # Adam moments are kept replicated (2×34M f32 ≈ 272 MB — cheap on HBM);
     # GSPMD reshards them against the TP-sharded params inside the step.
     opt_G = jax.tree.map(
-        lambda leaf: jax.device_put(leaf, rep), state.opt_state_G
+        lambda leaf: _place(leaf, rep), state.opt_state_G
     )
     return state.replace(
         params_G=params_G,
@@ -138,8 +155,8 @@ def shard_state(state, mesh: Mesh):
         params_D_frozen=rep_put(state.params_D_frozen),
         opt_state_G=opt_G,
         opt_state_D=rep_put(state.opt_state_D),
-        it=jax.device_put(state.it, rep),
-        rng=jax.device_put(state.rng, rep),
+        it=_place(state.it, rep),
+        rng=_place(state.rng, rep),
     )
 
 

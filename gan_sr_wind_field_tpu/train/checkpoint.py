@@ -43,7 +43,9 @@ def save_checkpoint(
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, _to_savable(state), force=True)
     ckptr.wait_until_finished()
-    if keep_last > 0:
+    # multi-host: every process calls the (collective) Orbax save, but only
+    # process 0 prunes — concurrent rmtree of the same dirs would race
+    if keep_last > 0 and jax.process_index() == 0:
         import shutil
 
         its = sorted(

@@ -107,6 +107,7 @@ class WindFieldGAN:
             init_scale=cfg.generator.weight_init_scale,
             dtype=dtype,
             remat=cfg.generator.use_remat,
+            pallas_head=getattr(cfg, "use_pallas_head", False),
         )
         self.D = Discriminator3D(
             in_channels=cfg.discriminator.in_num_ch,

@@ -75,6 +75,92 @@ def plot_metric_runs(
     return fig
 
 
+def exp_comparison_plot(
+    run_dirs: Sequence[str],
+    highlight: Optional[Sequence[str]] = None,
+    metric: str = "metrics/PSNR/val_PSNR",
+    loss_metric: str = "G_loss/validation/total",
+    baseline_metric: Optional[str] = "metrics/PSNR/Trilinear_PSNR",
+    band=(33.0, 41.0),
+    loss_ylim=None,
+    labels: Optional[Sequence[str]] = None,
+    out_path: Optional[str] = None,
+):
+    """The thesis experiment-comparison figure (plot_data.py:536-767):
+    two stacked panels — validation PSNR clamped to the reference's
+    33-41 dB result band, and total validation loss — with non-highlighted
+    runs drawn grey in the background, highlighted runs coloured on top,
+    and the trilinear baseline dashed."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    highlight = set(highlight) if highlight else set(run_dirs)
+    fig, ax = plt.subplots(2, 1, sharex=True, figsize=(10, 7))
+    ax[0].set_ylim(*band)
+    ax[0].set_ylabel("PSNR")
+    ax[1].set_ylabel("Total validation loss")
+    ax[1].set_xlabel("Training iteration")
+    if loss_ylim:
+        ax[1].set_ylim(*loss_ylim)
+
+    events = {run: read_events(run) for run in run_dirs}
+    # background pass: every non-highlighted run, grey
+    for run in run_dirs:
+        if run in highlight:
+            continue
+        ev = events[run]
+        if metric in ev:
+            ax[0].plot(ev[metric]["step"], ev[metric]["value"], color="#CCCCCC")
+        if loss_metric in ev:
+            ax[1].plot(ev[loss_metric]["step"], ev[loss_metric]["value"],
+                       color="#CCCCCC")
+    # foreground pass: highlighted runs, coloured + labelled
+    baseline_drawn = False
+    for i, run in enumerate(run_dirs):
+        if run not in highlight:
+            continue
+        ev = events[run]
+        label = labels[i] if labels else os.path.basename(run.rstrip("/"))
+        if metric in ev:
+            ax[0].plot(ev[metric]["step"], ev[metric]["value"], label=label)
+        if loss_metric in ev:
+            ax[1].plot(ev[loss_metric]["step"], ev[loss_metric]["value"])
+        if baseline_metric and not baseline_drawn and baseline_metric in ev:
+            ax[0].plot(ev[baseline_metric]["step"],
+                       ev[baseline_metric]["value"], "k--",
+                       label="trilinear")
+            baseline_drawn = True
+    ax[0].legend(fontsize=8)
+    for a in ax:
+        a.grid(alpha=0.3)
+    if out_path:
+        fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    return fig
+
+
+def _main(argv=None):
+    """CLI: regenerate the thesis band plot from run folders.
+
+    python -m gan_sr_wind_field_tpu.viz.analysis RUN_TB_DIR... --out fig.png
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description=_main.__doc__)
+    p.add_argument("runs", nargs="+",
+                   help="run tb folders containing events.jsonl")
+    p.add_argument("--out", default="exp_comparison.png")
+    p.add_argument("--highlight", nargs="*", default=None)
+    p.add_argument("--band", nargs=2, type=float, default=(33.0, 41.0))
+    args = p.parse_args(argv)
+    exp_comparison_plot(
+        args.runs, highlight=args.highlight, band=tuple(args.band),
+        out_path=args.out,
+    )
+    print(f"wrote {args.out}")
+
+
 def get_feature_maps(gan, params_G, lr, z, layer_filter: str = "RRDB0"):
     """Intermediate generator activations via flax capture_intermediates
     (replaces the reference's nn.Sequential slicing, plot_data.py:770-793)."""
@@ -95,3 +181,7 @@ def patch_offset_distribution(n: int = 100000, full: int = 128,
     beta = np.round(rng.beta(0.25, 0.25, size=n) * (full - patch)).astype(int)
     uniform = rng.integers(0, full - patch + 1, size=n)
     return beta, uniform
+
+
+if __name__ == "__main__":
+    _main()

@@ -1,0 +1,62 @@
+"""Two-process jax.distributed integration test (multiproc_worker.py).
+
+Converts the multi-host code paths — `jax.distributed.initialize`
+(run.py), per-process shard assembly (data/pipeline.py), the SPMD train
+step on a cross-process 'data' mesh, and collective checkpoint save with
+process-0-only pruning — from claimed to demonstrated, on two local CPU
+processes. Counterpart of the reference's Slurm multi-node launch
+(slurm scripts; SURVEY.md §2.2 comm backend)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_step(tmp_path):
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "multiproc_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(worker)) or ".",
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+
+    mets = {}
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("MET ")]
+        assert line, out
+        parts = line[0].split()
+        mets[int(parts[1])] = (parts[2], parts[3], parts[4])
+
+    # SPMD: both processes computed the same global metrics — requires the
+    # cross-process global batch (each holds only half the data)
+    assert mets[0][:2] == mets[1][:2]
+    # keep_last=1 pruned down to exactly the final checkpoint, no race
+    assert mets[0][2] == "kept=ckpt_2", mets[0][2]

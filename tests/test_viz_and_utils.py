@@ -41,6 +41,29 @@ def test_read_events_and_plot(tmp_path):
     assert out.exists() and fig is not None
 
 
+def test_exp_comparison_plot_cli(tmp_path):
+    """One command regenerates the thesis 33-41 dB band plot from two runs
+    (plot_data.py:536-767 counterpart)."""
+    from gan_sr_wind_field_tpu.viz.analysis import _main
+
+    runs = []
+    for name, base in (("runA", 30.0), ("runB", 27.0)):
+        d = tmp_path / name
+        w = MetricsWriter(str(d), use_tensorboard=False)
+        for it in (2, 4, 6):
+            w.add_scalars(
+                "metrics/PSNR",
+                {"val_PSNR": base + it, "Trilinear_PSNR": 33.0}, it,
+            )
+            w.add_scalars("G_loss/validation", {"total": 0.1 / it}, it)
+        w.close()
+        runs.append(str(d))
+
+    out = tmp_path / "band.png"
+    _main(runs + ["--out", str(out), "--highlight", runs[0]])
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_patch_offset_distribution_corner_biased():
     beta, uniform = patch_offset_distribution(n=20000, full=128, patch=64)
     # Beta(0.25,0.25) mass concentrates at the corners vs uniform
