@@ -155,6 +155,18 @@ class DiscriminatorConfig:
 
 
 @dataclass
+class FeatureExtractorConfig:
+    """[FEATUREEXTRACTOR] section. Mirrors reference config/config.py:155-162.
+
+    Dead surface in the reference too (`feature_extractor = None`,
+    wind_field_GAN_3D.py:85) — kept for config-compatibility; the working
+    feature-space loss is the D-feature path (use_D_feature_extractor_cost)."""
+
+    low_level_feat_layer: int = 1
+    high_level_feat_layer: int = 34
+
+
+@dataclass
 class DatasetConfig:
     """[DATASETTRAIN/VAL/TEST] sections. Mirrors config/config.py:164-195."""
 
@@ -276,6 +288,9 @@ class Config:
     gan_config: GANConfig = field(default_factory=GANConfig)
     generator: GeneratorConfig = field(default_factory=GeneratorConfig)
     discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    feature_extractor: FeatureExtractorConfig = field(
+        default_factory=FeatureExtractorConfig
+    )
     dataset_train: Optional[DatasetConfig] = field(default_factory=DatasetConfig)
     dataset_val: Optional[DatasetConfig] = field(default_factory=DatasetConfig)
     dataset_test: Optional[DatasetConfig] = field(default_factory=DatasetConfig)
@@ -430,6 +445,16 @@ class Config:
                 disc, "dropout_probability", float, D.dropout_probability
             )
 
+        fe = section("FEATUREEXTRACTOR")
+        if fe is not None:
+            F = cfg.feature_extractor
+            F.low_level_feat_layer = _get(
+                fe, "low_level_feat_layer", int, F.low_level_feat_layer
+            )
+            F.high_level_feat_layer = _get(
+                fe, "high_level_feat_layer", int, F.high_level_feat_layer
+            )
+
         tr = section("TRAINING")
         if tr is not None:
             T = cfg.training
@@ -561,6 +586,7 @@ class Config:
         dump("GAN", self.gan_config)
         dump("GENERATOR", self.generator)
         dump("DISCRIMINATOR", self.discriminator)
+        dump("FEATUREEXTRACTOR", self.feature_extractor)
         dump("TRAINING", self.training)
         dump("PARALLEL", self.parallel)
         for name, ds in (

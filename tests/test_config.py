@@ -80,3 +80,20 @@ def test_safe_list_from_string():
 def test_overrides():
     cfg = load_config(LOCAL_INI, scale=8, is_train=True)
     assert cfg.scale == 8 and cfg.is_train
+
+
+def test_feature_extractor_section_roundtrip(tmp_path):
+    """[FEATUREEXTRACTOR] surface parity (reference config/config.py:155-162
+    — dead in the reference too, kept for .ini compatibility)."""
+    from gan_sr_wind_field_tpu.config import Config
+
+    ini = tmp_path / "fe.ini"
+    ini.write_text(
+        "[FEATUREEXTRACTOR]\nlow_level_feat_layer = 2\n"
+        "high_level_feat_layer = 30\n"
+    )
+    cfg = Config.from_ini(str(ini))
+    assert cfg.feature_extractor.low_level_feat_layer == 2
+    assert cfg.feature_extractor.high_level_feat_layer == 30
+    assert "FEATUREEXTRACTOR" in cfg.as_ini()
+    assert Config().feature_extractor.high_level_feat_layer == 34
