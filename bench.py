@@ -40,6 +40,11 @@ def build(batch_size: int, use_remat: bool = False):
     cfg.use_fused_trunk = True
     # fused Pallas physics stencil (G step 520.1 -> 516.8 ms measured)
     cfg.use_pallas_stencil = True
+    # Pallas HR-head kernel: OFF — wins standalone (67.6 -> 49.3 ms) but
+    # loses in-graph (G fwd 130.4 -> 138.4, blended 3.99 -> 3.77 Mvox/s):
+    # XLA's in-context schedule for hr_conv0 beats its standalone layout
+    # by more than the kernel's lane-packing gain (see ops/pallas/hr_head.py)
+    cfg.use_pallas_head = False
     cfg.gan_config.include_pressure = False
     cfg.gan_config.include_z_channel = True
     cfg.gan_config.number_of_z_layers = 10

@@ -37,6 +37,16 @@ in f32, single rounding to the compute dtype — the same accumulate-once
 shape as XLA's concat conv (parity-tested; training-transparency measured
 like ops/tap_conv.py).
 
+MEASURED VERDICT (v5e, batch 32, 64×64×10, bf16) — kept available but OFF
+by default: standalone the kernel wins clearly (conv0 stage 67.6 → 49.3
+ms), but *in-graph* XLA schedules hr_conv0 far better than its standalone
+layout (and better than the 56%-lane-padding analysis predicts — the same
+conclusion the round-1 per-tap prototype reached), so the integrated
+numbers regress: eval G forward 130.4 → 138.4 ms, blended bench 3.99 →
+3.77 Mvox/s (the custom-VJP boundary also costs the G update the fused
+lrelu-mask recompute and a dPre concat). Flip `use_pallas_head` on only
+for geometries where the in-graph gap reverses.
+
 The custom-VJP wrapper (`hr_head`) pairs the kernel forward with XLA's
 own transposed convs via `jax.linear_transpose` (convolution is linear in
 each argument), so gradients are bit-comparable to autodiff of the plain
@@ -46,6 +56,7 @@ head at unchanged backward cost.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -244,12 +255,16 @@ def _z_im2col(t, k: int):
 
 def pick_chunk(X: int, k: int, YZ: int) -> Optional[int]:
     """x-plane chunk size: a divisor of X, ≥ the 2·hp accumulator shift,
-    targeting ~5k rows per chunk. None if the geometry can't be chunked."""
+    targeting ~5k rows per chunk. None if the geometry can't be chunked.
+    WINDSR_HEAD_CX overrides (perf tuning)."""
     hp = (k - 1) // 2
     cands = [c for c in range(2 * hp, X + 1)
              if X % c == 0 and c >= 2 * hp]
     if not cands:
         return None
+    env = os.environ.get("WINDSR_HEAD_CX")
+    if env and int(env) in cands:
+        return int(env)
     return min(cands, key=lambda c: abs(c * YZ - 5120))
 
 
