@@ -165,6 +165,12 @@ def param_search(cfg, ds_train, ds_val, x, y, num_samples: int = 250,
                  out_path: Optional[str] = None):
     """Run the sweep; writes JSONL of trial records + best point summary."""
     status = logging.getLogger("status")
+    if not (cfg.dataset_val and cfg.dataset_val.deterministic):
+        status.warning(
+            "param search on the quirk-parity val track: random val "
+            "augmentation makes PSNR swing ~10 dB between sweeps; set "
+            "[DATASETVAL] deterministic=true for stable ASHA decisions"
+        )
     gan = WindFieldGAN(cfg, x, y)  # ONE compiled step for every trial
     batch_size = cfg.dataset_train.batch_size if cfg.dataset_train else 8
 
