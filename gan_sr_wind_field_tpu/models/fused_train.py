@@ -143,9 +143,11 @@ def make_trainable_trunk(G, interpret: bool = False):
             negative_slope=slope, interpret=interpret,
         )
 
-        # weight grads: carry-free scan over the RDB steps
+        # weight grads: carry-free scan over the RDB steps. The kernels
+        # emit the J-stacked residuals/cotangents J-major, so these are
+        # free reshapes, not (N, J)→(J, N) HBM transposes.
         def to_j(a, c):
-            return jnp.swapaxes(a, 0, 1).reshape((J,) + sp + (c,))
+            return a.reshape((J,) + sp + (c,))
 
         states = to_j(states, nf)
         growths = to_j(growths, gcT)

@@ -27,13 +27,26 @@ Kernel design (v2, shaped by on-device ablations):
   four convs. The remaining 3×3 (dx,dy) taps are stacked along the output
   lanes (slot v = (dx+1)·3+(dy+1), N = 12·gc after tile padding) so each
   conv is ONE wide matmul per input block, and each tap's partial sum is
-  scattered by a static zero-fill row shift. x-boundary overflows coincide
-  with the array ends (row = x·Y·Zl + y·Zl + z is x-major), so the
-  zero-fill shift handles them exactly; only the y taps need a mask.
-  Measured motivation: sub-tile 32-lane slice/accumulate chains cost
-  ~0.8 µs each on v5e (lane-rotate relayouts), so the v1 design's 27
-  taps/conv dominated its runtime; 9 taps/conv + two full-width rolls is
-  the cheaper trade. Matmuls at these shapes run at ~full MXU rate.
+  scattered by a circular row roll + per-tap x/y mask. x-boundary
+  overflows coincide with the array ends (row = x·Y·Zl + y·Zl + z is
+  x-major), so the roll + mask handles them exactly. Measured motivation:
+  sub-tile 32-lane slice/accumulate chains cost ~0.8 µs each on v5e
+  (lane-rotate relayouts), so the v1 design's 27 taps/conv dominated its
+  runtime; 9 taps/conv + two full-width rolls is the cheaper trade.
+  Matmuls at these shapes run at ~full MXU rate.
+- The backward-dx kernel gathers HIERARCHICALLY instead: z→y gather of the
+  conv cotangent into a lane-tile-aligned 3·P ``du9`` buffer
+  (P = ceil(3·gc/128)·128), with the x taps on the output side — three
+  per-dx matmuls whose f32 partials are rolled by ∓Y·Z and x-masked. This
+  replaced a 27·gc-wide gather whose nine misaligned 3·gc-wide stores made
+  the backward 1.7× the forward's time at fewer effective matmul FLOPs
+  (93 → 60 ms/G-step measured on v5e). The same aligned-block scatter was
+  tried in the FORWARD and measured slower (53.6 → 62.1 ms — its rolled
+  operands are f32 partial sums, twice the bytes of the backward's bf16
+  cotangents), so the forward keeps the 9-tap scatter.
+- Training residuals (states/growths) and the backward's per-step
+  cotangents stream J-major, matching the weight-grad scan's slicing — the
+  (N, J)→(J, N) HBM transposes they previously forced cost ~28 ms/step.
 
 Numerics follow the XLA path: matmuls accumulate f32, LeakyReLU compares in
 f32 (Mosaic has no bf16 cmpf on v5e) and rounds to the compute dtype, the
@@ -54,6 +67,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TAPS_XY = 9  # 3×3 (dx,dy) output taps; dz lives in the matmul K dim
+
+
+def _tile3(gc: int) -> int:
+    """Lane-tile-aligned width of one 3·gc tap-triple block."""
+    return -(-3 * gc // 128) * 128
 
 
 def _n_slots(gc: int) -> int:
@@ -198,7 +216,12 @@ def _trunk_kernel(R, nf, gc, K, J, YZ, Z, ns, rdb_scale, rrdb_scale, per,
                     B_refs[k - 1][0, b],
                     preferred_element_type=jnp.float32,
                 )
-        # scatter the 9 (dx,dy) taps: circular roll + per-tap x/y mask
+        # scatter the 9 (dx,dy) taps: circular roll + per-tap x/y mask.
+        # (A hierarchical aligned-block scatter — roll P-wide dy blocks
+        # whole, then gc-wide dx slots — was measured SLOWER here:
+        # 53.6 → 62.1 ms/fwd on v5e. The f32 partials make the wide rolls
+        # cost more than the nine narrow ones; the mirrored gather DOES win
+        # in the backward kernel, whose rolled operands are bf16.)
         y = jnp.zeros((R, gc), jnp.float32)
         for v in range(_TAPS_XY):
             dx, dy = v // 3 - 1, v % 3 - 1
@@ -252,9 +275,12 @@ def fused_rrdb_trunk(packed, x, *, gc: int, num_convs: int,
     (i.e. the value fed to lr_conv in the XLA path).
 
     with_residuals=True additionally returns (states, growths) — per-RDB
-    input states (N, J, R, nf) and dense activations g1..gK (N, J, R, gc·K)
+    input states (J, N, R, nf) and dense activations g1..gK (J, N, R, gc·K)
     — the exact residuals the hand-written training backward consumes
-    (models/fused_train.py), so the VJP needs no forward recompute.
+    (models/fused_train.py), so the VJP needs no forward recompute. They
+    are emitted J-major so the backward's per-step weight-grad scan slices
+    them without a (N, J)→(J, N) HBM transpose (measured ~9 ms per 1 GB
+    stack on v5e).
     """
     N, X, Y, Zl, nf = x.shape
     R = X * Y * Zl
@@ -297,13 +323,13 @@ def fused_rrdb_trunk(packed, x, *, gc: int, num_convs: int,
     if with_residuals:
         out_specs = (
             out_specs,
-            pl.BlockSpec((1, 1, R, nf), lambda b, j: (b, j, 0, 0)),
-            pl.BlockSpec((1, 1, R, gcT), lambda b, j: (b, j, 0, 0)),
+            pl.BlockSpec((1, 1, R, nf), lambda b, j: (j, b, 0, 0)),
+            pl.BlockSpec((1, 1, R, gcT), lambda b, j: (j, b, 0, 0)),
         )
         out_shape = (
             out_shape,
-            jax.ShapeDtypeStruct((N, J, R, nf), dtype),
-            jax.ShapeDtypeStruct((N, J, R, gcT), dtype),
+            jax.ShapeDtypeStruct((J, N, R, nf), dtype),
+            jax.ShapeDtypeStruct((J, N, R, gcT), dtype),
         )
     out = pl.pallas_call(
         kernel,
@@ -353,14 +379,20 @@ def trunk_fusable(num_convs: int, gc: int, lff_kern_size: int,
 # --------------------------------------------------------------- backward
 def pack_trunk_params_bwd(params_G, num_rrdb: int, num_convs: int, nf: int,
                           gc: int, dtype):
-    """Transposed weights for the backward-dx kernel.
+    """Transposed weights for the backward-dx kernel (v2 layout).
 
-    Per growth conv k: Wt (27·gc, cin) with rows ordered (xy-tap v, z-block
-    c, out-channel o) to match the kernel's reverse-shifted cotangent
-    im2col; split into the state part At (27·gc, nf) and growth part
-    Bt (27·gc, gc·k). LFF: WlT (nf, nf+gc·K) (its transpose).
+    The kernel gathers only the z and y taps of the cotangent (into a
+    lane-tile-aligned ``du9`` buffer of three P-wide dy blocks, each
+    [dz·gc + o] padded to P = ceil(3·gc/128)·128 lanes); the x taps live on
+    the OUTPUT side as three per-dx matmuls whose partials are row-rolled by
+    ∓Y·Z and masked. So per growth conv k the weights split into
+    At (3, 3P, nf) — dx blocks, rows (dy, dz, o) — and the growth part
+    Bt (3, 3P, gc·K) with columns zero-padded from gc·k to gc·K so the
+    growth accumulator update is one full-width add. LFF: WlT (nf, nf+gc·K).
     """
     K = num_convs - 1
+    gcT = gc * K
+    P = _tile3(gc)
     At_steps, Bt_steps, WlT_steps = [], [], []
     for i in range(num_rrdb):
         rrdb = params_G[f"RRDB{i}"]
@@ -370,38 +402,46 @@ def pack_trunk_params_bwd(params_G, num_rrdb: int, num_convs: int, nf: int,
             for k in range(K):
                 cin = nf + gc * k
                 w = p[f"conv{k}"]["Conv_0"]["kernel"].astype(dtype)
-                # (dx,dy,dz,cin,gc) → rows (v=(dx,dy), c=dz, o), cols cin
+                # (dx,dy,dz,cin,gc) → dx blocks of rows (dy, dz·gc+o)
                 wt = jnp.transpose(w, (0, 1, 2, 4, 3)).reshape(
-                    9, 3, gc, cin
-                ).reshape(27 * gc, cin)
-                At_k.append(wt[:, :nf])
+                    3, 3, 3 * gc, cin
+                )
+                wt = jnp.pad(
+                    wt, ((0, 0), (0, 0), (0, P - 3 * gc), (0, 0))
+                ).reshape(3, 3 * P, cin)
+                At_k.append(wt[:, :, :nf])
                 if k > 0:
-                    Bt_k.append(wt[:, nf:])
+                    Bt_k.append(jnp.pad(
+                        wt[:, :, nf:], ((0, 0), (0, 0), (0, gcT - gc * k))
+                    ))
             At_steps.append(jnp.stack(At_k))
-            Bt_steps.append(Bt_k)
-            lff = p["LFF"]["kernel"].astype(dtype).reshape(nf + gc * K, nf)
+            if K > 1:
+                Bt_steps.append(jnp.stack(Bt_k))
+            lff = p["LFF"]["kernel"].astype(dtype).reshape(nf + gcT, nf)
             WlT_steps.append(lff.T)
     return {
         "At": jnp.stack(At_steps),
-        "Bt": tuple(
-            jnp.stack([b[k] for b in Bt_steps]) for k in range(K - 1)
-        ),
+        "Bt": jnp.stack(Bt_steps) if K > 1 else None,
         "WlT": jnp.stack(WlT_steps),
     }
 
 
-def _trunk_bwd_kernel(R, nf, gc, K, J, YZ, Z, rdb_scale, rrdb_scale, per,
+def _trunk_bwd_kernel(R, nf, gc, K, J, YZ, Z, P, rdb_scale, rrdb_scale, per,
                       dtype, slope,
-                      mz_ref, mxy_ref, g_ref, dout_ref, At_ref, *rest):
-    Bt_refs = rest[: K - 1]
+                      mz_ref, my_ref, mxs_ref, mxg_ref, g_ref, dout_ref,
+                      At_ref, *rest):
+    if K > 1:
+        Bt_ref = rest[0]
+        rest = rest[1:]
     (WlT_ref, dx_ref, du_ref, dlff_ref,
-     ds_s, pend_s, dg_s, du3_s, du27_s) = rest[K - 1:]
+     ds_s, pend_s, dg_s, du9_s) = rest
     jj = pl.program_id(1)  # step jj handles RDB j' = J-1-jj
 
     @pl.when(jj == 0)
     def _load():
         ds_s[...] = dout_ref[0]
         pend_s[...] = jnp.zeros_like(pend_s)
+        du9_s[...] = jnp.zeros_like(du9_s)  # pad lanes must stay zero
 
     jp = (J - 1) - jj
     is_end = (jp % per) == (per - 1)
@@ -427,36 +467,48 @@ def _trunk_bwd_kernel(R, nf, gc, K, J, YZ, Z, rdb_scale, rrdb_scale, per,
         ).astype(dtype)
         d_u = dg_s[:, k * gc:(k + 1) * gc] * lmask
         du_ref[0, 0, :, k * gc:(k + 1) * gc] = d_u
-        # reverse-shifted im2col of d_u: lane block (v, c) holds
-        # d_u[r − (δ_v + (c−1))], boundary rows zeroed. Build the 3-lane-
-        # block z-im2col once, then move it whole per xy tap — 9 ops at
-        # 3·gc width instead of 27 at gc width (sub-tile ops pay a
-        # lane-relayout each; fewer, wider ops win).
-        for c in range(3):
-            duc = _roll_rows(d_u, -(c - 1))
-            if c == 0:
-                duc = duc * mz_ref[:, gc:2 * gc]   # source z+1 valid
-            elif c == 2:
-                duc = duc * mz_ref[:, :gc]         # source z−1 valid
-            du3_s[:, c * gc:(c + 1) * gc] = duc
-        du3 = du3_s[...]
-        w3 = 3 * gc
-        for v in range(9):
-            dx, dy = v // 3 - 1, v % 3 - 1
-            dvc = _roll_rows(du3, -(dx * YZ + dy * Z))
-            rv = 8 - v  # mask of tap (−dx, −dy)
-            du27_s[:, v * w3:(v + 1) * w3] = (
-                dvc * mxy_ref[:, rv * w3:(rv + 1) * w3]
-            )
-        d_cat_s = jnp.dot(du27_s[...], At_ref[0, k],
-                          preferred_element_type=jnp.float32)
+        # Hierarchical z→y gather of the cotangent into du9: three P-wide
+        # dy blocks, each holding the 3·gc z-im2col of d_u padded to a full
+        # lane tile. Every store is lane-tile aligned (the v1 design's nine
+        # 3·gc-wide stores at 3·gc-multiple offsets each paid a lane
+        # relayout — measured as most of the fwd/bwd kernel gap).
+        mid = P
+        du9_s[:, mid + gc: mid + 2 * gc] = d_u
+        du9_s[:, mid: mid + gc] = (
+            _roll_rows(d_u, 1) * mz_ref[:, gc:2 * gc]    # src z+1 valid
+        )
+        du9_s[:, mid + 2 * gc: mid + 3 * gc] = (
+            _roll_rows(d_u, -1) * mz_ref[:, :gc]         # src z−1 valid
+        )
+        mid_blk = du9_s[:, P:2 * P]
+        du9_s[:, :P] = _roll_rows(mid_blk, Z) * my_ref[:, :P]
+        du9_s[:, 2 * P:] = _roll_rows(mid_blk, -Z) * my_ref[:, P:]
+        du9 = du9_s[...]
+        # The x taps live on the OUTPUT side: per-dx matmuls whose f32
+        # partials are row-rolled by ∓Y·Z and x-masked (valid because all
+        # terms of one partial share dx, and rows are x-major so x overflow
+        # coincides with the circular-roll wrap).
+        q0 = jnp.dot(du9, At_ref[0, k, 1],
+                     preferred_element_type=jnp.float32)
+        qm = jnp.dot(du9, At_ref[0, k, 0],
+                     preferred_element_type=jnp.float32)
+        qp = jnp.dot(du9, At_ref[0, k, 2],
+                     preferred_element_type=jnp.float32)
+        d_cat_s = (q0 + _roll_rows(qm, YZ) * mxs_ref[:, :nf]
+                   + _roll_rows(qp, -YZ) * mxs_ref[:, nf:])
         d_s = d_s + d_cat_s.astype(dtype)
         if k > 0:
-            d_cat_g = jnp.dot(du27_s[...], Bt_refs[k - 1][0],
-                              preferred_element_type=jnp.float32)
-            dg_s[:, : gc * k] = (
-                dg_s[:, : gc * k] + d_cat_g.astype(dtype)
-            )
+            h0 = jnp.dot(du9, Bt_ref[0, k - 1, 1],
+                         preferred_element_type=jnp.float32)
+            hm = jnp.dot(du9, Bt_ref[0, k - 1, 0],
+                         preferred_element_type=jnp.float32)
+            hp = jnp.dot(du9, Bt_ref[0, k - 1, 2],
+                         preferred_element_type=jnp.float32)
+            d_cat_g = (h0 + _roll_rows(hm, YZ) * mxg_ref[:, :gcT]
+                       + _roll_rows(hp, -YZ) * mxg_ref[:, gcT:])
+            # Bt columns ≥ gc·k are zero-padded, so this is one full-width
+            # aligned add (block k is already consumed above).
+            dg_s[...] = dg_s[...] + d_cat_g.astype(dtype)
 
     d_s = d_s + jnp.where(is_start, pend_s[...], jnp.zeros_like(d_s))
     pend_s[...] = jnp.where(
@@ -476,13 +528,14 @@ def fused_rrdb_trunk_bwd(packed_t, growths, d_out, *, gc: int,
                          interpret: bool = False):
     """Backward-dx pass of the fused trunk.
 
-    packed_t: from :func:`pack_trunk_params_bwd`; growths: the (N, J, R,
+    packed_t: from :func:`pack_trunk_params_bwd`; growths: the (J, N, R,
     gc·K) dense activations saved by the forward kernel; d_out: trunk
     output cotangent (N, X, Y, Zl, nf).
 
     Returns (d_x, dU, dLFF): the trunk-input cotangent plus the per-step
-    pre-activation cotangents d_u (N, J, R, gc·K) and d_lff (N, J, R, nf)
+    pre-activation cotangents d_u (J, N, R, gc·K) and d_lff (J, N, R, nf)
     that the XLA side contracts into weight gradients (models/fused_train).
+    All J-stacked tensors are J-major to match the weight-grad scan.
     """
     N, X, Y, Zl, nf = d_out.shape
     R = X * Y * Zl
@@ -490,57 +543,74 @@ def fused_rrdb_trunk_bwd(packed_t, growths, d_out, *, gc: int,
     J = packed_t["At"].shape[0]
     dtype = d_out.dtype
     gcT = gc * K
+    P = _tile3(gc)
 
+    bm = _boundary_masks_np(X, Y, Zl, 1)  # (R, 4): z>0 | z<Z-1 | y>0 | y<Y-1
+    r = np.arange(R)
+    xs = r // (Y * Zl)
     m_z = jnp.asarray(_boundary_masks_np(X, Y, Zl, gc)[:, :2 * gc], dtype)
-    m_xy = jnp.asarray(_xy_tap_masks_np(X, Y, Zl, 3 * gc), dtype)
+    # dy=−1 block needs y<Y-1 (col 3); dy=+1 needs y>0 (col 2)
+    m_y = jnp.asarray(
+        np.concatenate([np.repeat(bm[:, 3:4], P, 1),
+                        np.repeat(bm[:, 2:3], P, 1)], axis=1), dtype)
+    # x masks multiply f32 matmul partials: dx=−1 needs x<X-1, dx=+1 x>0
+    mx2 = np.stack([xs < X - 1, xs > 0], axis=1).astype(np.float32)
+    m_xs = jnp.asarray(np.repeat(mx2, nf, axis=1).reshape(R, 2 * nf))
+    m_xg = jnp.asarray(np.repeat(mx2, gcT, axis=1).reshape(R, 2 * gcT))
 
     d2 = d_out.reshape(N, R, nf)
     kernel = functools.partial(
-        _trunk_bwd_kernel, R, nf, gc, K, J, Y * Zl, Zl,
+        _trunk_bwd_kernel, R, nf, gc, K, J, Y * Zl, Zl, P,
         rdb_scale, rrdb_scale, rdbs_per_rrdb, dtype, negative_slope,
     )
     jrev = J - 1
     in_specs = [
         pl.BlockSpec(m_z.shape, lambda b, j: (0, 0)),
-        pl.BlockSpec(m_xy.shape, lambda b, j: (0, 0)),
-        pl.BlockSpec((1, 1, R, gcT), lambda b, j: (b, jrev - j, 0, 0)),
+        pl.BlockSpec(m_y.shape, lambda b, j: (0, 0)),
+        pl.BlockSpec(m_xs.shape, lambda b, j: (0, 0)),
+        pl.BlockSpec(m_xg.shape, lambda b, j: (0, 0)),
+        pl.BlockSpec((1, 1, R, gcT), lambda b, j: (jrev - j, b, 0, 0)),
         pl.BlockSpec((1, R, nf), lambda b, j: (b, 0, 0)),
         pl.BlockSpec(
-            (1,) + packed_t["At"].shape[1:], lambda b, j: (jrev - j, 0, 0, 0)
+            (1,) + packed_t["At"].shape[1:],
+            lambda b, j: (jrev - j, 0, 0, 0, 0)
         ),
-        *[
-            pl.BlockSpec((1,) + bk.shape[1:],
-                         lambda b, j: (jrev - j, 0, 0))
-            for bk in packed_t["Bt"]
-        ],
-        pl.BlockSpec((1, nf, nf + gcT), lambda b, j: (jrev - j, 0, 0)),
     ]
+    operands = [m_z, m_y, m_xs, m_xg, growths, d2, packed_t["At"]]
+    if K > 1:
+        in_specs.append(pl.BlockSpec(
+            (1,) + packed_t["Bt"].shape[1:],
+            lambda b, j: (jrev - j, 0, 0, 0, 0)
+        ))
+        operands.append(packed_t["Bt"])
+    in_specs.append(
+        pl.BlockSpec((1, nf, nf + gcT), lambda b, j: (jrev - j, 0, 0))
+    )
+    operands.append(packed_t["WlT"])
     out = pl.pallas_call(
         kernel,
         grid=(N, J),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, R, nf), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, 1, R, gcT), lambda b, j: (b, jrev - j, 0, 0)),
-            pl.BlockSpec((1, 1, R, nf), lambda b, j: (b, jrev - j, 0, 0)),
+            pl.BlockSpec((1, 1, R, gcT), lambda b, j: (jrev - j, b, 0, 0)),
+            pl.BlockSpec((1, 1, R, nf), lambda b, j: (jrev - j, b, 0, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((N, R, nf), dtype),
-            jax.ShapeDtypeStruct((N, J, R, gcT), dtype),
-            jax.ShapeDtypeStruct((N, J, R, nf), dtype),
+            jax.ShapeDtypeStruct((J, N, R, gcT), dtype),
+            jax.ShapeDtypeStruct((J, N, R, nf), dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((R, nf), dtype),          # running ds
             pltpu.VMEM((R, nf), dtype),          # pending RRDB skip
             pltpu.VMEM((R, gcT), dtype),         # d_growth accumulator
-            pltpu.VMEM((R, 3 * gc), dtype),      # z-im2col of d_u
-            pltpu.VMEM((R, 27 * gc), dtype),     # reverse im2col of d_u
+            pltpu.VMEM((R, 3 * P), dtype),       # aligned z/y gather of d_u
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(m_z, m_xy, growths, d2, packed_t["At"], *packed_t["Bt"],
-      packed_t["WlT"])
+    )(*operands)
     d_x, dU, dLFF = out
     return d_x.reshape(N, X, Y, Zl, nf), dU, dLFF
