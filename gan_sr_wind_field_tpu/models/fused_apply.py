@@ -133,7 +133,16 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
         return x.astype(jnp.float32)
 
     if G.split_hr_concat:
-        x = lrelu(conv(x, Wx, hp) + conv(t, Wt, hp))
+        if G.hr_kern_size > 1:
+            # terrain part: few (16) input channels — use the conv whose
+            # custom VJP tap-stacks the input grad (ops/tap_conv.py;
+            # the default 144→16 transposed conv costs 27.7 ms/G-step)
+            from gan_sr_wind_field_tpu.ops.tap_conv import conv3d_tap_dx
+
+            ct = conv3d_tap_dx(t, Wt.astype(cdt), hp)
+        else:
+            ct = conv(t, Wt, hp)
+        x = lrelu(conv(x, Wx, hp) + ct)
     else:
         x = lrelu(conv(
             jnp.concatenate([x, t], axis=-1),

