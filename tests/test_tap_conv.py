@@ -62,6 +62,37 @@ def test_grad_parity(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_conv3d_tap_dx_value_and_grads(rng):
+    """conv3d_tap_dx: forward and BOTH grads match autodiff of the direct
+    conv (its custom VJP tap-stacks only the input grad)."""
+    from gan_sr_wind_field_tpu.ops.tap_conv import conv3d_tap_dx
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 5, 4)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((5, 5, 5, 4, 8)) * 0.1, jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((2, 6, 6, 5, 8)), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(conv3d_tap_dx(x, k, 2)), np.asarray(_direct(x, k, 2)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    def loss(fn, xx, kk):
+        return jnp.sum(fn(xx, kk) * ct)
+
+    gx_a, gk_a = jax.grad(
+        lambda xx, kk: loss(lambda a, b: conv3d_tap_dx(a, b, 2), xx, kk),
+        argnums=(0, 1),
+    )(x, k)
+    gx_b, gk_b = jax.grad(
+        lambda xx, kk: loss(lambda a, b: _direct(a, b, 2), xx, kk),
+        argnums=(0, 1),
+    )(x, k)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_a), np.asarray(gk_b),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_generator_flag_parity(rng):
     """Same params → same output with tap_stacked_hr on/off (f32)."""
     from gan_sr_wind_field_tpu.models import Generator3D
