@@ -20,33 +20,36 @@ NX_RAW, NY_RAW, NZ_RAW, NT = 12, 11, 5, 13
 NZ = 3  # number_of_z_layers under test
 
 
-def _write_fake_nc(path: str) -> np.ndarray:
+def _write_fake_nc(path: str, nx: int = NX_RAW, ny: int = NY_RAW,
+                   nz_raw: int = NZ_RAW, nt: int = NT,
+                   poison_hour: int = 5, seed: int = 0) -> np.ndarray:
     """Write a netCDF3 sim file in the raw (t, z, x, y) layout the
     downloader expects. Returns the raw w field for later checks."""
     from scipy.io import netcdf_file
 
-    rng = np.random.default_rng(0)
-    shape = (NT, NZ_RAW, NX_RAW, NY_RAW)
+    rng = np.random.default_rng(seed)
+    shape = (nt, nz_raw, nx, ny)
     winds = {
         "x_wind_ml": rng.uniform(-5, 5, shape),
         "y_wind_ml": rng.uniform(-5, 5, shape),
         "upward_air_velocity_ml": rng.uniform(-2, 2, shape),
     }
-    # poison one in-crop voxel of hour 5 so that sample gets filtered
-    # (raw z index 2 survives the reverse+slice(1, 1+NZ) crop)
-    winds["upward_air_velocity_ml"][5, 2, 5, 5] = np.nan
+    if poison_hour is not None:
+        # poison one in-crop voxel of that hour so the sample gets filtered
+        # (raw z index 2 survives the reverse+slice(1, 1+NZ) crop)
+        winds["upward_air_velocity_ml"][poison_hour, 2, 5, 5] = np.nan
     # geopotential height = raw z index, so the test can assert the
     # ground-first reversal and the slice(1, 1+nz) crop exactly
     gph = np.broadcast_to(
-        np.arange(NZ_RAW, dtype=float)[None, :, None, None], shape
+        np.arange(nz_raw, dtype=float)[None, :, None, None], shape
     ).copy()
     press = rng.uniform(9e4, 1.1e5, shape)
 
     f = netcdf_file(path, "w")
-    f.createDimension("time", NT)
-    f.createDimension("z", NZ_RAW)
-    f.createDimension("x", NX_RAW)
-    f.createDimension("y", NY_RAW)
+    f.createDimension("time", nt)
+    f.createDimension("z", nz_raw)
+    f.createDimension("x", nx)
+    f.createDimension("y", ny)
     for name, arr in {
         **winds,
         "geopotential_height_ml": gph,
@@ -55,11 +58,11 @@ def _write_fake_nc(path: str) -> np.ndarray:
         v = f.createVariable(name, "d", ("time", "z", "x", "y"))
         v[:] = arr
     vx = f.createVariable("x", "d", ("x",))
-    vx[:] = np.arange(NX_RAW, dtype=float)
+    vx[:] = np.arange(nx, dtype=float)
     vy = f.createVariable("y", "d", ("y",))
-    vy[:] = np.arange(NY_RAW, dtype=float)
+    vy[:] = np.arange(ny, dtype=float)
     vt = f.createVariable("surface_altitude", "d", ("x", "y"))
-    vt[:] = rng.uniform(0, 50, (NX_RAW, NY_RAW))
+    vt[:] = rng.uniform(0, 50, (nx, ny))
     f.close()
     return winds["upward_air_velocity_ml"]
 
