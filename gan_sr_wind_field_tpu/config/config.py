@@ -283,6 +283,10 @@ class Config:
     # (ops/pallas/hr_head.py) on the fused forward paths; requires
     # use_fused_trunk (the flax/GSPMD path keeps XLA)
     use_pallas_head: bool = False
+    # same, but ONLY on the no-grad forward (D steps / inference): the
+    # kernel regresses inside the G-train graph but the inference graph
+    # schedules differently (see CLAUDE.md perf facts)
+    use_pallas_head_nograd: bool = False
 
     env: EnvConfig = field(default_factory=EnvConfig)
     gan_config: GANConfig = field(default_factory=GANConfig)
@@ -345,6 +349,10 @@ class Config:
             )
             cfg.use_pallas_head = _get(
                 base, "use_pallas_head", bool, cfg.use_pallas_head
+            )
+            cfg.use_pallas_head_nograd = _get(
+                base, "use_pallas_head_nograd", bool,
+                cfg.use_pallas_head_nograd,
             )
             cfg.use_fused_trunk = _get(
                 base, "use_fused_trunk", bool, cfg.use_fused_trunk

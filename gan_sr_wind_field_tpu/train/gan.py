@@ -109,6 +109,13 @@ class WindFieldGAN:
             remat=cfg.generator.use_remat,
             pallas_head=getattr(cfg, "use_pallas_head", False),
         )
+        # optional head-kernel spec for the no-grad forward only (D steps /
+        # inference): the kernel's schedule context differs from the G-train
+        # graph where it was measured to regress
+        self._G_nograd = (
+            self.G.clone(pallas_head=True)
+            if getattr(cfg, "use_pallas_head_nograd", False) else self.G
+        )
         self.D = Discriminator3D(
             in_channels=cfg.discriminator.in_num_ch,
             base_features=cfg.discriminator.num_features,
@@ -282,7 +289,7 @@ class WindFieldGAN:
 
             if fused_supported(self.G, lr.shape):
                 fn = functools.partial(
-                    generate_fused, self.G,
+                    generate_fused, self._G_nograd,
                     interpret=self._pallas_interpret,
                 )
                 if self._fused_shard_map:

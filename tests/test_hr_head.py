@@ -211,3 +211,31 @@ def test_fusable_gate():
     assert not head_fusable((32, 64, 63, 9, 128), 5, 144)   # YZ % 8 != 0
     assert not head_fusable((32, 64, 64, 10, 64), 5, 144)   # nf % 128
     assert not head_fusable((32, 64, 64, 10, 128), 5, 96)   # C < 128
+
+
+def test_nograd_flag_parity():
+    """`use_pallas_head_nograd` routes ONLY the no-grad forward through the
+    head kernel; outputs match the default path exactly (interpret mode)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_train_step import make_batch, tiny_cfg
+
+    from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+
+    rng = np.random.default_rng(3)
+    x = np.arange(16, dtype=np.float32) * 150
+    lr, hr, z = make_batch(rng)
+    outs = []
+    for flag in (False, True):
+        cfg = tiny_cfg()
+        cfg.use_fused_trunk = True
+        cfg.use_pallas_head_nograd = flag
+        gan = WindFieldGAN(cfg, x, x)
+        assert gan._G_nograd.pallas_head is flag
+        assert gan.G.pallas_head is False  # train path untouched
+        state = gan.init_state(
+            jax.random.key(0), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        outs.append(np.asarray(gan.generate(state.params_G, lr, z)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
