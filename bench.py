@@ -116,7 +116,19 @@ PEAK_FLOPS = {"v5 lite": 197e12, "v4": 275e12}
 
 
 def main(retry_reason=None):
+    import os
+
     import jax
+
+    # persistent compile cache: the full train-step compile runs many
+    # minutes over the remote TPU tunnel; reuse it across bench invocations
+    try:
+        cache_dir = os.environ.get("WINDSR_BENCH_CACHE", "/tmp/jax_bench_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
 
     batch_size = 32
     while True:
