@@ -54,23 +54,6 @@ def _conv(v, w, pad):
 # fixable inside a Pallas kernel where the copies stay in registers.
 
 
-def _stack_trunk_weights(trunk_params, num_rrdb, K, cdt):
-    """Per-RDB weights stacked along a leading J axis, in compute dtype."""
-    Wk, Wl, bl = [[] for _ in range(K)], [], []
-    for i in range(num_rrdb):
-        for j in range(3):
-            p = trunk_params[f"RRDB{i}"][f"RDB{j}"]
-            for k in range(K):
-                Wk[k].append(p[f"conv{k}"]["Conv_0"]["kernel"].astype(cdt))
-            Wl.append(p["LFF"]["kernel"].astype(cdt))
-            bl.append(p["LFF"]["bias"].astype(cdt))
-    return (
-        [jnp.stack(w) for w in Wk],
-        jnp.stack(Wl),
-        jnp.stack(bl),
-    )
-
-
 def _unstack_grads(dWk, dWl, dbl, num_rrdb, K):
     """Stacked (J, ...) weight grads → the trunk params tree (float32)."""
     tree = {}
@@ -153,29 +136,35 @@ def make_trainable_trunk(G, interpret: bool = False):
         growths = to_j(growths, gcT)
         dU = to_j(dU, gcT)
         dLFF = to_j(dLFF, nf)
-        _, Wl_st, _ = _stack_trunk_weights(trunk_params, num_rrdb, K, cdt)
 
         # One ALL-PAIRS weight-grad conv per step: the per-conv dW has only
         # gc output channels (4x MXU lane padding at gc=32); contracting the
         # full cat against the full dU runs at full lane utilisation, and
         # each true dW_k is an exact slice of the result (the transpose
         # contraction never mixes (cin, cout) pairs). ~27% more raw FLOPs
-        # for ~3x fewer padded MACs.
-        w_all = jax.ShapeDtypeStruct((3, 3, 3, nf + gcT, gcT), cdt)
+        # for ~3x fewer padded MACs. The contraction is also blockwise in
+        # cin, so the dense cat NEVER materializes: states and growths each
+        # contract separately (both already 128-wide) and the results
+        # concatenate on the tiny weight axis.
+        w_s = jax.ShapeDtypeStruct((3, 3, 3, nf, gcT), cdt)
+        w_g = jax.ShapeDtypeStruct((3, 3, 3, gcT, gcT), cdt)
+        wl_s = jax.ShapeDtypeStruct((1, 1, 1, nf, nf), cdt)
+        wl_g = jax.ShapeDtypeStruct((1, 1, 1, gcT, nf), cdt)
 
         def wstep(_, xs):
-            s, g, du, dlff, Wl = xs
-            cat_l = jnp.concatenate([s, g], axis=-1)
-            dWl = jax.linear_transpose(
-                lambda w: _conv(cat_l, w, 0), Wl
-            )(dlff)[0]
+            s, g, du, dlff = xs
+            dWl = jnp.concatenate([
+                jax.linear_transpose(lambda w: _conv(s, w, 0), wl_s)(dlff)[0],
+                jax.linear_transpose(lambda w: _conv(g, w, 0), wl_g)(dlff)[0],
+            ], axis=3)
             dbl = jnp.sum(dlff, axis=(0, 1, 2, 3))
-            dWall = jax.linear_transpose(
-                lambda w: _conv(cat_l, w, 1), w_all
-            )(du)[0]
+            dWall = jnp.concatenate([
+                jax.linear_transpose(lambda w: _conv(s, w, 1), w_s)(du)[0],
+                jax.linear_transpose(lambda w: _conv(g, w, 1), w_g)(du)[0],
+            ], axis=3)
             return None, (dWall, dWl, dbl)
 
-        xs = (states, growths, dU, dLFF, Wl_st)
+        xs = (states, growths, dU, dLFF)
         _, (dWall_st, dWl_st, dbl_st) = jax.lax.scan(wstep, None, xs)
         dWk_st = tuple(
             dWall_st[..., : nf + gc * k, k * gc:(k + 1) * gc]
