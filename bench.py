@@ -222,7 +222,69 @@ def main(retry_reason=None):
     print(json.dumps(out))
 
 
+def main_infer(batches=(32, 64)):
+    """Serving probe (`bench.py --infer`): no-grad generator throughput.
+
+    The reference has no serving tier — its inference is single-sample
+    ``gan.G(LR)`` calls inside test.py:106-121. Here inference is the jitted
+    eval-mode forward (``WindFieldGAN.generate``: fused Pallas trunk +
+    tap-stacked head), the same path `eval/serve.py` uses. Larger batches
+    are legal for serving (no activation-gradient memory), so both the
+    training batch and a bigger one are reported.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        cache_dir = os.environ.get("WINDSR_BENCH_CACHE", "/tmp/jax_bench_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+
+    per_batch = {}
+    for bs in batches:
+        gan, state, lr, hr, z = build(bs)
+
+        # scalar accumulator fences every call without serialising them —
+        # back-to-back dispatch is the realistic serving schedule
+        def run(n):
+            acc = jnp.float32(0.0)
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = gan.generate(state.params_G, lr, z)
+                acc = acc + jnp.mean(out)
+            _ = float(acc)
+            return time.perf_counter() - t0
+
+        run(2)  # compile + warm
+        n_small, n_big = 8, 24
+        t_small, t_big = run(n_small), run(n_big)
+        dt = (t_big - t_small) / (n_big - n_small)
+        per_batch[bs] = {
+            "ms_per_call": round(dt * 1e3, 2),
+            "voxels_per_sec": round(bs * 64 * 64 * 10 / dt, 1),
+        }
+        del gan, state, lr, hr, z
+
+    best = max(per_batch.values(), key=lambda d: d["voxels_per_sec"])
+    print(json.dumps({
+        "metric": "infer_voxels_per_sec_per_chip",
+        "value": best["voxels_per_sec"],
+        "unit": "HR voxels/s",
+        "vs_baseline": round(best["voxels_per_sec"] / BASELINE_VOXELS_PER_SEC, 2),
+        "detail": {"per_batch": per_batch,
+                   "device_kind": jax.devices()[0].device_kind},
+    }))
+
+
 if __name__ == "__main__":
+    if "--infer" in sys.argv:
+        main_infer()
+        sys.exit(0)
     try:
         main()
     except Exception as e:  # remote-tunnel runs can flake; one clean retry

@@ -1,72 +1,101 @@
 #!/usr/bin/env python
-"""Capture a device trace of the train step and print the top ops by time.
+"""Profile the jitted train step on the real TPU and print a per-op table.
 
-Parses the perfetto trace.json.gz that jax.profiler writes — no TensorBoard
-needed.
+Usage:
+    python scripts/profile_step.py [--phase g|d] [--steps N] [--top K]
+
+Traces N consecutive steps of one alternation phase (G block starts at it=0,
+D block at it=50 for the bench config), parses the .trace.json.gz XLA ops
+track, and prints the top-K device ops by total duration, normalised
+per step. This is the tool behind the G/D-step profile maps in CLAUDE.md —
+jax.profiler works over the axon tunnel; `block_until_ready` does not fence
+reliably there, so the run is fenced by fetching a scalar metric.
 """
 
+import argparse
 import glob
 import gzip
 import json
 import os
 import sys
+import tempfile
 from collections import defaultdict
-
-import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=["g", "d"], default="g")
+    ap.add_argument("--steps", type=int, default=6)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=32)
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
-    import bench as bench_mod
+    try:
+        cache_dir = os.environ.get("WINDSR_BENCH_CACHE", "/tmp/jax_bench_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
-    which = sys.argv[1] if len(sys.argv) > 1 else "g"
-    out_dir = "/tmp/jax_trace"
-    os.system(f"rm -rf {out_dir}")
+    from bench import build
 
-    gan, state, lr, hr, z = bench_mod.build(32)
-    for _ in range(3):
+    gan, state, lr, hr, z = build(args.batch)
+    start_it = 0 if args.phase == "g" else 50
+
+    # warm/compile both branches
+    for _ in range(2):
         state, m = gan.train_step(state, lr, hr, z, augment=True)
-    jax.block_until_ready(m["total"])
+    _ = float(m["total"])
 
-    start_it = 0 if which == "g" else 50
     state = state.replace(it=jnp.int32(start_it))
-    jax.profiler.start_trace(out_dir)
-    for _ in range(3):
+    tdir = tempfile.mkdtemp(prefix="windsr_trace_")
+    jax.profiler.start_trace(tdir)
+    for _ in range(args.steps):
         state, m = gan.train_step(state, lr, hr, z, augment=True)
-    jax.block_until_ready(m["total"])
+    _ = float(m["total"])  # scalar fence
     jax.profiler.stop_trace()
 
-    traces = glob.glob(f"{out_dir}/**/*.trace.json.gz", recursive=True)
+    traces = glob.glob(os.path.join(tdir, "**", "*.trace.json.gz"),
+                       recursive=True)
     if not traces:
-        print("no trace found", glob.glob(f"{out_dir}/**/*", recursive=True))
-        return
-    with gzip.open(traces[0], "rt") as f:
+        print("no trace produced", file=sys.stderr)
+        sys.exit(1)
+    with gzip.open(max(traces, key=os.path.getmtime), "rt") as f:
         data = json.load(f)
 
-    # aggregate complete events on device tracks
+    events = data.get("traceEvents", [])
+    # device-side complete events: pick the pids whose process names look
+    # like an accelerator ("/device:TPU", "TPU", "Device") rather than host
+    pid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e.get("args", {}).get("name", "")
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n or "device" in n.lower()}
+
     durs = defaultdict(float)
     counts = defaultdict(int)
     total = 0.0
-    for ev in data.get("traceEvents", []):
-        if ev.get("ph") != "X":
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
-        name = ev.get("name", "")
-        # keep only XLA op events (they carry args with long_name/hlo)
-        args = ev.get("args", {})
-        if "long_name" not in args and "hlo_op" not in args and not name.startswith(("fusion", "convolution", "custom", "copy", "all-", "reduce", "transpose", "dynamic", "scatter", "gather", "select", "rng", "bitcast", "broadcast")):
-            continue
-        dur = ev.get("dur", 0) / 1e3  # ms
+        name = e.get("name", "")
+        dur = e.get("dur", 0) / 1e3  # us -> ms
         durs[name] += dur
         counts[name] += 1
         total += dur
 
-    top = sorted(durs.items(), key=lambda kv: -kv[1])[:30]
-    print(f"== {which}-step trace: total attributed {total:.1f} ms over 3 steps ==")
-    for name, d in top:
-        print(f"{d:9.2f} ms  x{counts[name]:<4d} {name[:110]}")
+    per_step = {k: v / args.steps for k, v in durs.items()}
+    print(f"# phase={args.phase} steps={args.steps} "
+          f"device-total {total/args.steps:.1f} ms/step "
+          f"({len(durs)} distinct ops)")
+    for name, ms in sorted(per_step.items(), key=lambda kv: -kv[1])[: args.top]:
+        print(f"{ms:9.2f} ms  x{counts[name]//args.steps:<3d} {name[:120]}")
 
 
 if __name__ == "__main__":
