@@ -39,7 +39,8 @@ __all__ = [
 filenames_from_dates = dfiles.filenames_from_dates
 
 
-def preprocess(cfg, synthetic: bool = False, synthetic_hours: int = 48):
+def preprocess(cfg, synthetic: bool = False, synthetic_hours: int = 48,
+               synthetic_size: int = 64):
     """Build the three split datasets + coordinate axes from config.
 
     Counterpart of reference ``preprosess`` (process_data.py:497-639):
@@ -55,8 +56,8 @@ def preprocess(cfg, synthetic: bool = False, synthetic_hours: int = 48):
         names, sub = generate_synthetic_cache(
             root,
             num_hours=synthetic_hours,
-            nx=64,
-            ny=64,
+            nx=synthetic_size,
+            ny=synthetic_size,
             nz=g.number_of_z_layers,
         )
     else:

@@ -29,6 +29,11 @@ def argv_to_cfg(argv=None):
     p.add_argument("--param_search", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="use analytic synthetic data instead of downloading")
+    p.add_argument("--synthetic_hours", type=int, default=48,
+                   help="number of hourly synthetic samples to generate")
+    p.add_argument("--synthetic_size", type=int, default=64,
+                   help="horizontal extent of the synthetic domain; larger "
+                        "than slice_size gives true random-patch training")
     p.add_argument("--profile", action="store_true",
                    help="trace the first train iterations with jax.profiler")
     p.add_argument("--slurm_array_id", type=int, default=1)
@@ -135,7 +140,11 @@ def main(argv=None):
         if not (cfg.is_train or cfg.is_test or cfg.is_use):
             return
 
-    ds_train, ds_test, ds_val, x, y = preprocess(cfg, synthetic=args.synthetic)
+    ds_train, ds_test, ds_val, x, y = preprocess(
+        cfg, synthetic=args.synthetic,
+        synthetic_hours=args.synthetic_hours,
+        synthetic_size=args.synthetic_size,
+    )
     status.info(
         f"datasets: train {len(ds_train)} / test {len(ds_test)} / "
         f"val {len(ds_val)}"

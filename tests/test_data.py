@@ -235,6 +235,30 @@ class TestDatasetAndSplit:
         assert len(out) == 6 and out[3].startswith("2018-")
         assert x.shape == (64,)
 
+    def test_synthetic_size_gives_random_patches(self, tmp_path):
+        # synthetic_size > slice_size → true random-patch training
+        # (run.py --synthetic_size; the patch comes from a larger domain)
+        cfg = Config()
+        cfg.env.data_root = str(tmp_path)
+        cfg.scale = 4
+        cfg.gan_config.include_pressure = False
+        cfg.gan_config.include_z_channel = True
+        cfg.gan_config.enable_slicing = True
+        cfg.gan_config.slice_size = 16
+        cfg.gan_config.interpolate_z = False
+        ds_train, _, _, x, y = preprocess(
+            cfg, synthetic=True, synthetic_hours=8, synthetic_size=32
+        )
+        # the returned axes are trimmed to the slice extent (uniform spacing
+        # → patch offset doesn't change the coordinate deltas the losses use)
+        assert x.shape == (16,)
+        lr, hr, z = ds_train.get(0, np.random.default_rng(0))
+        assert hr.shape == (16, 16, 10, 3)
+        # different rng draws → different patch offsets (same sample)
+        hs = {ds_train.get(0, np.random.default_rng(s))[1].tobytes()
+              for s in range(6)}
+        assert len(hs) > 1
+
     def test_norm_stats_train_only(self, tmp_path):
         names, sub = generate_synthetic_cache(
             str(tmp_path), num_hours=10, nx=16, ny=16, nz=4
