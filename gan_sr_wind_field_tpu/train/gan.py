@@ -226,6 +226,7 @@ class WindFieldGAN:
                 opt = bf16_sr_optimizer_state(opt, seed=cfg.env.fixed_seed)
             return opt
 
+        self.log_grad_norm = bool(getattr(t, "use_grad_clipping", False))
         self.opt_G = make_opt(t.adam_beta1_g, t.adam_weight_decay_g)
         self.opt_D = make_opt(t.adam_beta1_d, t.adam_weight_decay_d)
         if t.multistep_lr and t.multistep_lr_steps:
@@ -548,6 +549,11 @@ class WindFieldGAN:
         metrics = dict(losses)
         metrics["D_train_loss"] = jnp.float32(0.0)
         metrics["is_g_step"] = jnp.float32(1.0)
+        if self.log_grad_norm:
+            # pre-clip global grad norm (the thesis "norm during training"
+            # track, plot_data.py:521-533; only computed when clipping is
+            # on, where optax already pays for the reduction)
+            metrics["G_grad_norm"] = optax.global_norm(grads)
         return (
             params_G, opt_state_G, state.params_D, state.opt_state_D,
             state.batch_stats_D, metrics,
@@ -572,6 +578,8 @@ class WindFieldGAN:
         metrics = _zeros_loss_dict()
         metrics["D_train_loss"] = loss_D
         metrics["is_g_step"] = jnp.float32(0.0)
+        if self.log_grad_norm:  # structure must match the G branch's
+            metrics["G_grad_norm"] = jnp.float32(0.0)
         return (
             state.params_G, state.opt_state_G, params_D, new_opt, new_bs,
             metrics,

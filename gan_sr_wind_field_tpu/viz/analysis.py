@@ -140,6 +140,60 @@ def exp_comparison_plot(
     return fig
 
 
+def decomposed_val_loss_plot(
+    run_dir: str,
+    losses: Sequence[str] = (
+        "xy_gradient", "xy_divergence", "z_gradient", "divergence",
+        "pix", "adversarial",
+    ),
+    ylim=(0.0, 0.06),
+    grad_norm: bool = False,
+    out_path: Optional[str] = None,
+):
+    """Per-term validation-loss curves for one run — the thesis
+    "decomposed validation loss" figure (plot_data.py:485-519
+    create_best_exp25_plot), plus optionally the training grad-norm track
+    (plot_data.py:521-533 create_norm_plot) as a second panel when the run
+    logged ``metrics/grad/G_grad_norm`` (use_grad_clipping runs)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ev = read_events(run_dir)
+    norm_key = "metrics/grad/G_grad_norm"
+    want_norm = grad_norm and norm_key in ev
+    fig, axes = plt.subplots(
+        2 if want_norm else 1, 1, sharex=True,
+        figsize=(10, 7 if want_norm else 4), squeeze=False,
+    )
+    ax = axes[0][0]
+    for loss in losses:
+        key = f"G_loss/validation/{loss}"
+        if key in ev:
+            ax.plot(ev[key]["step"], ev[key]["value"], label=loss)
+    ax.set_ylabel("Validation loss")
+    if ylim:
+        ax.set_ylim(*ylim)
+    ax.legend(fontsize=8)
+    ax.grid(alpha=0.3)
+    if want_norm:
+        axn = axes[1][0]
+        # grad norm is only computed on G steps; drop the D-step zeros
+        steps = np.asarray(ev[norm_key]["step"])
+        vals = np.asarray(ev[norm_key]["value"])
+        keep = vals > 0.0
+        axn.plot(steps[keep], vals[keep])
+        axn.set_ylabel("G grad norm")
+        axn.grid(alpha=0.3)
+        axn.set_xlabel("Training iteration")
+    else:
+        ax.set_xlabel("Training iteration")
+    if out_path:
+        fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    return fig
+
+
 def _main(argv=None):
     """CLI: regenerate the thesis band plot from run folders.
 

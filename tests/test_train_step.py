@@ -227,6 +227,30 @@ class TestTrainStep:
             losses.append(float(m["total"]))
         assert losses[-1] < losses[0] * 0.7
 
+    def test_grad_norm_metric_with_clipping(self, rng):
+        """use_grad_clipping also logs the pre-clip global grad norm on G
+        steps (thesis norm-during-training track, plot_data.py:521-533);
+        D steps carry a structural zero; off by default."""
+        cfg = tiny_cfg(use_grad_clipping=True)
+        x = np.arange(16, dtype=np.float32) * 150
+        gan = WindFieldGAN(cfg, x, x)
+        state = gan.init_state(
+            jax.random.key(0), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        lr, hr, z = make_batch(rng)
+        state, m1 = gan.train_step(state, lr, hr, z)  # it=1 G
+        assert float(m1["is_g_step"]) == 1.0
+        assert float(m1["G_grad_norm"]) > 0.0
+        state, m2 = gan.train_step(state, lr, hr, z)  # it=2 D
+        assert float(m2["is_g_step"]) == 0.0
+        assert float(m2["G_grad_norm"]) == 0.0
+
+    def test_grad_norm_metric_absent_by_default(self, gan_and_state, rng):
+        gan, state = gan_and_state
+        lr, hr, z = make_batch(rng)
+        _, m = gan.train_step(state, lr, hr, z)
+        assert "G_grad_norm" not in m
+
     def test_device_side_augmentation_path(self, gan_and_state, rng):
         gan, state = gan_and_state
         lr, hr, z = make_batch(rng)

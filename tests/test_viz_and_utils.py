@@ -64,6 +64,36 @@ def test_exp_comparison_plot_cli(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+def test_decomposed_val_loss_plot(tmp_path):
+    """Per-term val-loss figure + optional grad-norm panel
+    (plot_data.py:485-533 counterpart)."""
+    from gan_sr_wind_field_tpu.viz.analysis import decomposed_val_loss_plot
+
+    w = MetricsWriter(str(tmp_path), use_tensorboard=False)
+    for it in (2, 4, 6):
+        w.add_scalars(
+            "G_loss/validation",
+            {"pix": 0.05 / it, "xy_gradient": 0.02 / it,
+             "divergence": 0.01 / it}, it,
+        )
+        w.add_scalars(
+            "metrics/grad",
+            {"G_grad_norm": 3.0 / it if it % 4 == 2 else 0.0}, it,
+        )
+    w.close()
+
+    out = tmp_path / "decomposed.png"
+    fig = decomposed_val_loss_plot(
+        str(tmp_path), grad_norm=True, out_path=str(out)
+    )
+    assert out.exists() and out.stat().st_size > 0
+    # two panels: losses + grad norm (zeros from D steps dropped)
+    assert len(fig.axes) == 2
+
+    fig2 = decomposed_val_loss_plot(str(tmp_path))
+    assert len(fig2.axes) == 1
+
+
 def test_patch_offset_distribution_corner_biased():
     beta, uniform = patch_offset_distribution(n=20000, full=128, patch=64)
     # Beta(0.25,0.25) mass concentrates at the corners vs uniform
