@@ -110,6 +110,66 @@ def test_figures(rng):
     assert fig1.axes and fig2.axes
 
 
+def _write_fields_pickle(path, rng, nz=4):
+    import pickle
+
+    hr = rng.standard_normal((3, 16, 16, nz)).astype(np.float32)
+    fields = {
+        "HR": hr,
+        "SR": hr * 0.9,
+        "TL": hr * 1.1,
+        "LR": hr[:, ::4, ::4],
+        "Z": np.abs(hr[0]) * 100.0,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(fields, f)
+
+
+def test_create_2d_report(tmp_path, rng):
+    from gan_sr_wind_field_tpu.viz.plots import create_2d_report
+
+    pkl = tmp_path / "test_fields_demo.pkl"
+    _write_fields_pickle(str(pkl), rng)
+    out = tmp_path / "figures"
+    written = create_2d_report(
+        str(pkl), z_levels=(0, 2), components=("u", "w"),
+        out_dir=str(out), scale=4,
+    )
+    # reference filename scheme: {comp}_{z}_scale{scale}[_error].png
+    # (plot_data.py:1074-1120)
+    expect = {
+        f"{c}_{z}_scale4{s}.png"
+        for c in ("u", "w") for z in (0, 2) for s in ("", "_error")
+    }
+    assert {os.path.basename(p) for p in written} == expect
+    for p in written:
+        assert os.path.getsize(p) > 0
+
+
+def test_create_2d_report_cli_and_use_guard(tmp_path, rng):
+    import pickle
+
+    import pytest
+
+    from gan_sr_wind_field_tpu.viz.plots import _main, create_2d_report
+
+    pkl = tmp_path / "test_fields_demo.pkl"
+    _write_fields_pickle(str(pkl), rng)
+    out = tmp_path / "figs"
+    _main([str(pkl), "--z", "1", "--components", "v", "--out", str(out),
+           "--scale", "8"])
+    assert (out / "v_1_scale8.png").exists()
+    assert (out / "v_1_scale8_error.png").exists()
+
+    # --use dumps lack HR/TL and must be rejected with a clear message
+    use_pkl = tmp_path / "use_fields.pkl"
+    with open(use_pkl, "wb") as f:
+        pickle.dump({"LR": np.zeros((3, 4, 4, 2)),
+                     "SR": np.zeros((3, 16, 16, 2))}, f)
+    with pytest.raises(KeyError, match="full test-mode dump"):
+        create_2d_report(str(use_pkl), out_dir=str(out))
+
+
 def test_display_bar_renders():
     buf = io.StringIO()
     bar = DisplayBar(max_value=10, niter=20, stream=buf, min_interval=0.0)
