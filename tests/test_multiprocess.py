@@ -39,7 +39,9 @@ def test_two_process_train_step(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # generous: cold compiles under host CPU contention (e.g. the
+            # suite running next to another jax process) can exceed 10 min
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
