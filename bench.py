@@ -24,6 +24,26 @@ import numpy as np
 BASELINE_VOXELS_PER_SEC = 150_000 / (3 * 24 * 3600) * 32 * 64 * 64 * 10
 
 
+def setup_compile_cache(min_compile_secs: float = 5.0) -> None:
+    """Persistent compile cache: the full train-step compile runs many
+    minutes over the remote TPU tunnel; reuse it across invocations."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "WINDSR_BENCH_CACHE", "/tmp/jax_bench_cache"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+        )
+    except Exception as e:
+        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+
+
 def build(batch_size: int, use_remat: bool = False):
     # measured on v5e: batch 32 fits HBM without remat; remat costs +18% G-step
     # time (758→623 ms without). Larger volumes/batches should re-enable it.
@@ -120,15 +140,7 @@ def main(retry_reason=None):
 
     import jax
 
-    # persistent compile cache: the full train-step compile runs many
-    # minutes over the remote TPU tunnel; reuse it across bench invocations
-    try:
-        cache_dir = os.environ.get("WINDSR_BENCH_CACHE", "/tmp/jax_bench_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception as e:
-        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+    setup_compile_cache()
 
     batch_size = 32
     while True:
@@ -237,13 +249,7 @@ def main_infer(batches=(32, 64)):
     import jax
     import jax.numpy as jnp
 
-    try:
-        cache_dir = os.environ.get("WINDSR_BENCH_CACHE", "/tmp/jax_bench_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception as e:
-        print(f"# compilation cache unavailable: {e}", file=sys.stderr)
+    setup_compile_cache()
 
     per_batch = {}
     for bs in batches:

@@ -92,11 +92,20 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
 
     use_ph = False
     if getattr(G, "pallas_head", False):
-        from gan_sr_wind_field_tpu.ops.pallas.hr_head import head_fusable
-
-        use_ph = interpret or head_fusable(
-            x.shape, G.hr_kern_size, Wx.shape[-1]
+        from gan_sr_wind_field_tpu.ops.pallas.hr_head import (
+            head_fusable,
+            pick_chunk,
         )
+
+        if interpret:
+            # interpret mode has no lane-packing constraints, but the
+            # x-chunk geometry gate still applies (pick_chunk can return
+            # None for unchunkable X regardless of backend)
+            use_ph = pick_chunk(
+                x.shape[1], G.hr_kern_size, x.shape[2] * x.shape[3]
+            ) is not None
+        else:
+            use_ph = head_fusable(x.shape, G.hr_kern_size, Wx.shape[-1])
 
     p = G.dropout_probability
     if use_ph:

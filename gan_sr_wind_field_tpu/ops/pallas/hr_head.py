@@ -258,13 +258,15 @@ def pick_chunk(X: int, k: int, YZ: int) -> Optional[int]:
     targeting ~5k rows per chunk. None if the geometry can't be chunked.
     WINDSR_HEAD_CX overrides (perf tuning)."""
     hp = (k - 1) // 2
-    cands = [c for c in range(2 * hp, X + 1)
-             if X % c == 0 and c >= 2 * hp]
+    cands = [c for c in range(max(1, 2 * hp), X + 1) if X % c == 0]
     if not cands:
         return None
     env = os.environ.get("WINDSR_HEAD_CX")
-    if env and int(env) in cands:
-        return int(env)
+    try:
+        if env and int(env) in cands:
+            return int(env)
+    except ValueError:  # malformed override: ignore like out-of-range ones
+        pass
     return min(cands, key=lambda c: abs(c * YZ - 5120))
 
 
@@ -323,7 +325,17 @@ def _head_forward(meta: HeadMeta, Wx, Wt, x, t, dmask):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def hr_head(meta: HeadMeta, Wx, Wt, x, t, dmask):
-    """Differentiable fused HR-head conv0 stage → (h_main, h_rem)."""
+    """Differentiable fused HR-head conv0 stage → (h_main, h_rem).
+
+    Requires ``negative_slope > 0``: the backward pass recovers
+    sign(pre-activation) from the saved output h, which is ambiguous at
+    h == 0 when the negative branch is flattened to zero (plain ReLU).
+    """
+    if meta.negative_slope <= 0.0:
+        raise ValueError(
+            "hr_head custom VJP needs negative_slope > 0 "
+            "(sign recovery from the saved activation)"
+        )
     return _head_forward(meta, Wx, Wt, x, t, dmask)
 
 

@@ -34,15 +34,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        cache_dir = os.environ.get("WINDSR_BENCH_CACHE", "/tmp/jax_bench_cache")
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from bench import build, setup_compile_cache
 
-    from bench import build
+    setup_compile_cache()
 
     gan, state, lr, hr, z = build(args.batch)
     start_it = 0 if args.phase == "g" else 50

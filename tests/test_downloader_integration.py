@@ -116,8 +116,16 @@ def test_download_dataset_end_to_end(seeded_root):
     raw_dir = os.path.join(data_root, "downloaded_raw_bessaker_data")
     with open(os.path.join(raw_dir, "invalid_files.txt")) as f:
         assert downloader.raw_filename(day, "T12Z.nc") in f.read()
-    with open(os.path.join(raw_dir, "filtered_samples.txt")) as f:
+    # the filtered ledger is z-config-scoped (validity is judged on the
+    # z-cropped arrays), so it lives in the dataset folder, not raw_dir
+    with open(os.path.join(folder, "filtered_samples.txt")) as f:
         assert f.read().splitlines() == ["2018-03-07-05.pkl"]
+
+    # cross-config independence: the poison voxel sits at raw z=2, inside
+    # the z3 crop (raw levels [3,2,1]) but OUTSIDE the z1 crop ([3]) — the
+    # hour filtered at z3 must still be valid at z1
+    valid_z1 = downloader.download_dataset(data_root, day, day, 1)
+    assert "2018-03-07-05.pkl" in valid_z1
 
 
 def test_second_call_does_no_rework(seeded_root, monkeypatch):

@@ -213,6 +213,27 @@ def test_fusable_gate():
     assert not head_fusable((32, 64, 64, 10, 128), 5, 96)   # C < 128
 
 
+def test_pick_chunk_edge_cases(monkeypatch):
+    # k=1 (hp=0): must not divide by zero; any divisor of X is legal
+    assert pick_chunk(64, 1, 640) in {c for c in range(1, 65) if 64 % c == 0}
+    # prime X with k=5: only X itself is >= 2*hp and divides X
+    assert pick_chunk(13, 5, 640) == 13
+    # X smaller than the 2*hp accumulator shift: unchunkable
+    assert pick_chunk(3, 5, 640) is None
+    # malformed env override is ignored, not a crash
+    monkeypatch.setenv("WINDSR_HEAD_CX", "auto")
+    assert pick_chunk(64, 5, 640) == 8
+    monkeypatch.setenv("WINDSR_HEAD_CX", "16")
+    assert pick_chunk(64, 5, 640) == 16
+
+
+def test_bwd_requires_positive_slope():
+    meta = HeadMeta(k=3, negative_slope=0.0, cm=16, interpret=True)
+    with pytest.raises(ValueError, match="negative_slope"):
+        hr_head(meta, jnp.zeros((3, 3, 3, 8, 16)), jnp.zeros((3, 3, 3, 4, 16)),
+                jnp.zeros((1, 4, 4, 4, 8)), jnp.zeros((1, 4, 4, 4, 4)), None)
+
+
 def test_nograd_flag_parity():
     """`use_pallas_head_nograd` routes ONLY the no-grad forward through the
     head kernel; outputs match the default path exactly (interpret mode)."""
