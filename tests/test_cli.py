@@ -64,3 +64,39 @@ def test_train_cli_smoke(tmp_path):
     assert os.path.exists(
         os.path.join(str(tmp_path), "test_output", "averages.csv")
     )
+
+    # ---- chain: offline 2D publication figures from the test field dump
+    test_runs = sorted(os.listdir(runs))
+    fields_dir = os.path.join(runs, test_runs[-1], "fields")
+    pkls = [n for n in os.listdir(fields_dir)
+            if n.startswith("test_fields_")]
+    assert pkls
+    proc = subprocess.run(
+        [sys.executable, "-m", "gan_sr_wind_field_tpu.viz.plots",
+         os.path.join(fields_dir, pkls[0]), "--z", "0", "--components",
+         "u", "--out", str(tmp_path / "figs")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert os.path.exists(str(tmp_path / "figs" / "u_0_scale4.png"))
+
+    # ---- chain: SR-only inference dumps through the --use CLI
+    # (reference test.py:106-121 path)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"), "--use",
+         "--synthetic", "--cfg", str(cfg_test_path)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    use_runs = sorted(os.listdir(runs))
+    use_fields = os.path.join(runs, use_runs[-1], "fields")
+    use_pkls = [n for n in os.listdir(use_fields)
+                if n.startswith("test_fields_")]
+    assert use_pkls
+    import pickle
+
+    with open(os.path.join(use_fields, use_pkls[0]), "rb") as f:
+        dump = pickle.load(f)
+    assert set(dump) == {"LR", "SR"}  # SR-only schema
+    assert dump["SR"].shape[0] == 3
