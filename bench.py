@@ -176,11 +176,17 @@ def main(retry_reason=None):
         _ = float(m["total"])  # scalar fence
         return time.perf_counter() - t0
 
-    def timed_block(start_it, n_small=6, n_big=18):
+    def timed_block(start_it, n_small=6, n_big=18, passes=2):
+        # best-of-N passes: one-off tunnel stalls have inflated a single
+        # pass by ~40% (observed 229 vs 165 ms D step back-to-back); the
+        # min is the reproducible hardware number
         run_block(start_it, 2)  # warm
-        t_small = run_block(start_it, n_small)
-        t_big = run_block(start_it, n_big)
-        return (t_big - t_small) / (n_big - n_small)
+        best = float("inf")
+        for _ in range(passes):
+            t_small = run_block(start_it, n_small)
+            t_big = run_block(start_it, n_big)
+            best = min(best, (t_big - t_small) / (n_big - n_small))
+        return best
 
     t_g = timed_block(0)  # its 1..18: all G (period 50)
     t_d = timed_block(50)  # its 51..68: all D
