@@ -136,8 +136,6 @@ PEAK_FLOPS = {"v5 lite": 197e12, "v4": 275e12}
 
 
 def main(retry_reason=None):
-    import os
-
     import jax
 
     setup_compile_cache()
@@ -250,8 +248,6 @@ def main_infer(batches=(32, 64)):
     are legal for serving (no activation-gradient memory), so both the
     training batch and a bigger one are reported.
     """
-    import os
-
     import jax
     import jax.numpy as jnp
 
