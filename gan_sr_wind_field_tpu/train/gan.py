@@ -45,6 +45,23 @@ from gan_sr_wind_field_tpu.train import tricks
 from gan_sr_wind_field_tpu.train.schedule import label_values, multistep_lr
 
 
+def _act_slope(act_type: str) -> float:
+    """Config act_type → LeakyReLU slope. 'relu' is a slope-0 LeakyReLU;
+    anything else falls back to leakyrelu(0.2) with a warning, mirroring
+    the reference (Generator_3D_Resnet_ESRGAN.py:50-56)."""
+    act = (act_type or "leakyrelu").lower()
+    if act == "relu":
+        return 0.0
+    if act != "leakyrelu":
+        import logging
+
+        logging.getLogger("status").warning(
+            f"activation type {act_type} not implemented - "
+            "defaulting to leaky ReLU (0.2)"
+        )
+    return 0.2
+
+
 def bce_with_logits(logits, targets):
     """Mean binary cross-entropy on logits (torch BCEWithLogitsLoss)."""
     return jnp.mean(
@@ -108,6 +125,8 @@ class WindFieldGAN:
             dtype=dtype,
             remat=cfg.generator.use_remat,
             pallas_head=getattr(cfg, "use_pallas_head", False),
+            conv_mode=g.conv_mode,
+            negative_slope=_act_slope(cfg.generator.act_type),
         )
         # optional head-kernel spec for the no-grad forward only (D steps /
         # inference): the kernel's schedule context differs from the G-train
@@ -126,6 +145,8 @@ class WindFieldGAN:
             dropout_probability=cfg.discriminator.dropout_probability,
             init_scale=cfg.discriminator.weight_init_scale,
             dtype=dtype,
+            conv_mode=g.conv_mode,
+            negative_slope=_act_slope(cfg.discriminator.act_type),
         )
 
         self.x = jnp.asarray(x, jnp.float32)
@@ -170,8 +191,12 @@ class WindFieldGAN:
         dp_only = mesh is not None and all(
             mesh.shape.get(ax, 1) == 1 for ax in ("model", "spatial")
         )
-        self.use_fused_trunk = getattr(cfg, "use_fused_trunk", False) and (
-            mesh is None or mesh.size == 1 or dp_only
+        self.use_fused_trunk = (
+            getattr(cfg, "use_fused_trunk", False)
+            and (mesh is None or mesh.size == 1 or dp_only)
+            # the trunk custom VJP recovers sign(pre-activation) from the
+            # saved post-activation — ambiguous at 0 for plain ReLU
+            and self.G.negative_slope > 0
         )
         self._fused_shard_map = (
             self.use_fused_trunk and mesh is not None and mesh.size > 1

@@ -48,10 +48,13 @@ CASES = {
         scale=8, include_pressure=True, include_z_channel=True,
         include_above_ground_channel=True, hr_kern_size=3,
     ),
-    # batch-normed NAC generator blocks + wide LFF fusion kernel
-    "bn_nac_lff3": dict(
-        scale=4, gen_norm_type="batch", gen_layer_mode="NAC",
-        lff_kern_size=3,
+    # wide LFF fusion kernel (lff_kern_size=3 disables the fused trunk)
+    "lff3": dict(scale=4, lff_kern_size=3),
+    # per-z-window unshared conv weights + plain-ReLU activations wired
+    # from gan_config.conv_mode / act_type (reference
+    # wind_field_GAN_3D.py:107-110)
+    "horizontal_relu": dict(
+        scale=4, conv_mode="horizontal_3D", act_type="relu",
     ),
     # dropout active in the HR head during training
     "dropout_head": dict(scale=4, dropout_probability=0.3, hr_kern_size=3),
@@ -69,19 +72,20 @@ def test_model_geometry_smoke(name, rng):
     g.include_above_ground_channel = c.get(
         "include_above_ground_channel", False
     )
+    g.conv_mode = c.get("conv_mode", "3D")
     gen = cfg.generator
     gen.hr_kern_size = c.get("hr_kern_size", 3)
     gen.lff_kern_size = c.get("lff_kern_size", 1)
     gen.dropout_probability = c.get("dropout_probability", 0.1)
-    if "gen_norm_type" in c:
-        gen.norm_type = c["gen_norm_type"]
-    if "gen_layer_mode" in c:
-        gen.layer_mode = c["gen_layer_mode"]
+    gen.act_type = c.get("act_type", "leakyrelu")
 
     n_lr_ch = cfg.lr_num_channels
     x = np.arange(SIZE, dtype=np.float32) * 150
     y = np.arange(SIZE, dtype=np.float32) * 150
     gan = WindFieldGAN(cfg, x, y)
+    assert gan.G.conv_mode == g.conv_mode  # wiring, not just acceptance
+    if c.get("act_type") == "relu":
+        assert gan.G.negative_slope == 0.0
     lr, hr, z = _batch(np.random.default_rng(0), c["scale"], n_lr_ch)
     state = gan.init_state(jax.random.key(0), lr.shape, hr.shape)
 
