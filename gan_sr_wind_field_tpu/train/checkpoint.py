@@ -45,7 +45,7 @@ def save_checkpoint(
     ckptr.wait_until_finished()
     # multi-host: every process calls the (collective) Orbax save, but only
     # process 0 prunes — concurrent rmtree of the same dirs would race
-    if keep_last > 0 and jax.process_index() == 0:
+    if keep_last and keep_last > 0 and jax.process_index() == 0:
         import shutil
 
         its = sorted(

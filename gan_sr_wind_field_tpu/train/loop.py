@@ -23,6 +23,7 @@ import time
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from gan_sr_wind_field_tpu.data.pipeline import prefetch_to_device
@@ -100,11 +101,50 @@ def train(cfg, dataset_train, dataset_validation, x, y,
         (batch_size,) + probe_hr.shape,
     )
 
-    if cfg.load_model_from_save and cfg_t.resume_training_from_save:
-        path = cfg.env.state_load_path or ckpt.latest_checkpoint(run_folder)
-        if path:
-            state = ckpt.restore_checkpoint(path, state)
-            status.info(f"resumed from {path} at it={int(state.it)}")
+    if cfg.load_model_from_save:
+        # reference semantics (train.py:78-102 + baseGAN.load_model):
+        # load_model_from_save loads WEIGHTS (G always; D when
+        # discriminator_load_path is set); resume_training_from_save
+        # additionally restores the training state (optimizers, it, rng).
+        g_path = cfg.env.generator_load_path
+        d_path = cfg.env.discriminator_load_path
+        if g_path and g_path.endswith(".pth"):
+            # warm start from reference torch checkpoints
+            from gan_sr_wind_field_tpu.utils.torch_import import (
+                load_reference_checkpoint,
+            )
+
+            params_G, params_D, stats_D = load_reference_checkpoint(
+                gan.G, g_path, gan.D,
+                d_path if d_path and d_path.endswith(".pth") else None,
+            )
+            repl = {"params_G": jax.tree.map(jnp.asarray, params_G)}
+            if params_D is not None:
+                repl["params_D"] = jax.tree.map(jnp.asarray, params_D)
+                repl["batch_stats_D"] = jax.tree.map(jnp.asarray, stats_D)
+            state = state.replace(**repl)
+            status.info(
+                f"imported reference weights G={g_path}"
+                + (f" D={d_path}" if params_D is not None else "")
+            )
+        if cfg_t.resume_training_from_save:
+            path = (cfg.env.state_load_path
+                    or ckpt.latest_checkpoint(run_folder))
+            if path:
+                state = ckpt.restore_checkpoint(path, state)
+                status.info(f"resumed from {path} at it={int(state.it)}")
+        elif g_path and not g_path.endswith(".pth"):
+            # weights-only load from an Orbax checkpoint: restore, then
+            # keep params but reset the training state
+            fresh = state
+            loaded = ckpt.restore_checkpoint(g_path, state)
+            state = fresh.replace(
+                params_G=loaded.params_G,
+                params_D=loaded.params_D,
+                batch_stats_D=loaded.batch_stats_D,
+                params_D_frozen=loaded.params_D_frozen,
+            )
+            status.info(f"loaded weights (fresh training state) from {g_path}")
 
     niter = min(cfg_t.niter, max_steps) if max_steps else cfg_t.niter
     start_it = int(state.it)

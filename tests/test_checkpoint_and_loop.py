@@ -188,3 +188,95 @@ class TestTrainLoopSmoke:
         assert os.path.exists(
             os.path.join(cfg.env.this_runs_tensorboard_log_folder, "events.jsonl")
         )
+
+
+def _loop_cfg(tmp_path, niter=0):
+    cfg = Config()
+    cfg.scale = 4
+    cfg.compute_dtype = "float32"
+    cfg.use_tensorboard_logger = False
+    cfg.display_bar = False
+    cfg.env.data_root = str(tmp_path / "data")
+    cfg.env.this_runs_folder = str(tmp_path / "run")
+    cfg.env.this_runs_tensorboard_log_folder = str(tmp_path / "run" / "tb")
+    cfg.gan_config.include_pressure = False
+    cfg.gan_config.include_z_channel = True
+    cfg.gan_config.number_of_z_layers = 4
+    cfg.gan_config.enable_slicing = True
+    cfg.gan_config.slice_size = 16
+    g = cfg.generator
+    g.num_features = 8
+    g.num_RRDB = 1
+    g.num_RDB_convs = 2
+    g.RDB_growth_chan = 4
+    g.hr_kern_size = 3
+    g.terrain_number_of_features = 4
+    cfg.discriminator.num_features = 4
+    t = cfg.training
+    t.niter = niter
+    t.val_period = 10_000
+    t.log_period = 10_000
+    t.save_model_period = 10_000
+    t.d_g_train_period = 2
+    cfg.dataset_train.batch_size = 2
+    return cfg
+
+
+class TestWarmStart:
+    """reference train.py:78-102 semantics: load_model_from_save loads
+    weights; resume_training_from_save additionally restores the training
+    state. Both runs use niter=0 so the returned state is exactly what the
+    loader produced."""
+
+    def test_pth_generator_warm_start(self, tmp_path, rng):
+        from gan_sr_wind_field_tpu.utils.torch_import import (
+            save_reference_checkpoint,
+        )
+
+        cfg = _loop_cfg(tmp_path)
+        setup_loggers(str(tmp_path / "log"), also_log_to_terminal=False)
+        ds_train, _, _, x, y = preprocess(cfg, synthetic=True,
+                                          synthetic_hours=8)
+        gan = WindFieldGAN(cfg, x, y)
+        donor = gan.init_state(
+            jax.random.key(7), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        pth = save_reference_checkpoint(
+            str(tmp_path / "G_42.pth"), donor.params_G, gan.G
+        )
+
+        cfg.load_model_from_save = True
+        cfg.env.generator_load_path = pth
+        cfg.training.resume_training_from_save = False
+        state = train(cfg, ds_train, None, x, y)
+        assert int(state.it) == 0  # fresh training state
+        got = jax.tree_util.tree_leaves(state.params_G)
+        want = jax.tree_util.tree_leaves(donor.params_G)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_orbax_weights_only_load(self, tmp_path, rng):
+        cfg = _loop_cfg(tmp_path)
+        setup_loggers(str(tmp_path / "log"), also_log_to_terminal=False)
+        ds_train, _, _, x, y = preprocess(cfg, synthetic=True,
+                                          synthetic_hours=8)
+        gan = WindFieldGAN(cfg, x, y)
+        donor = gan.init_state(
+            jax.random.key(9), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        donor = donor.replace(it=jnp.int32(123))
+        path = ckpt.save_checkpoint(
+            str(tmp_path / "donor_run"), donor, keep_last=0
+        )
+
+        cfg.load_model_from_save = True
+        cfg.env.generator_load_path = str(path)
+        cfg.training.resume_training_from_save = False
+        state = train(cfg, ds_train, None, x, y)
+        # weights taken from the checkpoint, training state reset
+        assert int(state.it) == 0
+        got = jax.tree_util.tree_leaves(state.params_D)
+        want = jax.tree_util.tree_leaves(donor.params_D)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
