@@ -176,15 +176,14 @@ def main(retry_reason=None):
 
     def timed_block(start_it, n_small=6, n_big=18, passes=2):
         # best-of-N passes: one-off tunnel stalls have inflated a single
-        # pass by ~40% (observed 229 vs 165 ms D step back-to-back); the
-        # min is the reproducible hardware number
+        # pass by ~40% (observed 229 vs 165 ms D step back-to-back). Take
+        # min(t_small) and min(t_big) SEPARATELY before differencing — a
+        # stall landing in a small block would otherwise bias the
+        # differenced estimate low and min() would select exactly that.
         run_block(start_it, 2)  # warm
-        best = float("inf")
-        for _ in range(passes):
-            t_small = run_block(start_it, n_small)
-            t_big = run_block(start_it, n_big)
-            best = min(best, (t_big - t_small) / (n_big - n_small))
-        return best
+        t_small = min(run_block(start_it, n_small) for _ in range(passes))
+        t_big = min(run_block(start_it, n_big) for _ in range(passes))
+        return (t_big - t_small) / (n_big - n_small)
 
     t_g = timed_block(0)  # its 1..18: all G (period 50)
     t_d = timed_block(50)  # its 51..68: all D

@@ -57,42 +57,21 @@ def sample_is_invalid(z, zag, u, v, w, p) -> bool:
     return False
 
 
-class _ScipyVar:
-    """CF unpacking scipy.io leaves to the caller (netCDF4.Dataset does it
-    automatically): mask _FillValue/missing_value on the packed data, then
-    apply scale_factor/add_offset."""
-
-    def __init__(self, var):
-        self._v = var
-
-    def __getitem__(self, idx):
-        out = np.array(self._v[idx], dtype=float)
-        attrs = getattr(self._v, "_attributes", {}) or {}
-        fill = attrs.get("_FillValue", attrs.get("missing_value"))
-        mask = (out == float(np.asarray(fill).item())) if fill is not None \
-            else np.ma.nomask
-        scale = attrs.get("scale_factor")
-        if scale is not None:
-            out = out * float(np.asarray(scale).item())
-        off = attrs.get("add_offset")
-        if off is not None:
-            out = out + float(np.asarray(off).item())
-        return np.ma.masked_array(out, mask)
-
-
 class _ScipyNC:
     """netCDF3-classic reader shim over scipy.io.netcdf_file exposing the
-    same ``fid[key][:]`` / ``close()`` surface as netCDF4.Dataset (incl.
-    automatic CF scale/offset/fill handling via _ScipyVar). Lets the
-    downloader run (and be integration-tested) where netCDF4 is absent."""
+    same ``fid[key][:]`` / ``close()`` surface as netCDF4.Dataset.
+    ``maskandscale=True`` gives netCDF4's automatic CF handling (mask
+    _FillValue/missing_value — incl. NaN fills — then apply
+    scale_factor/add_offset). Lets the downloader run (and be
+    integration-tested) where netCDF4 is absent."""
 
     def __init__(self, path: str):
         from scipy.io import netcdf_file
 
-        self._f = netcdf_file(path, "r", mmap=False)
+        self._f = netcdf_file(path, "r", mmap=False, maskandscale=True)
 
     def __getitem__(self, key):
-        return _ScipyVar(self._f.variables[key])
+        return self._f.variables[key]
 
     def close(self) -> None:
         self._f.close()

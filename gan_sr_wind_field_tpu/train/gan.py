@@ -128,6 +128,19 @@ class WindFieldGAN:
             conv_mode=g.conv_mode,
             negative_slope=_act_slope(cfg.generator.act_type),
         )
+        # like the reference, the models are built from the GAN-level
+        # conv_mode (wind_field_GAN_3D.py:110,133); the per-section keys
+        # are parsed but unwired there too (cfg_G.conv_mode is stored at
+        # :119 and only read by commented-out code)
+        for sec, val in (("GENERATOR", cfg.generator.conv_mode),
+                         ("DISCRIMINATOR", cfg.discriminator.conv_mode)):
+            if val != g.conv_mode:
+                import logging
+
+                logging.getLogger("status").warning(
+                    f"[{sec}] conv_mode={val} is ignored; models use "
+                    f"[GAN] conv_mode={g.conv_mode} (reference semantics)"
+                )
         # optional head-kernel spec for the no-grad forward only (D steps /
         # inference): the kernel's schedule context differs from the G-train
         # graph where it was measured to regress

@@ -106,45 +106,69 @@ def train(cfg, dataset_train, dataset_validation, x, y,
         # load_model_from_save loads WEIGHTS (G always; D when
         # discriminator_load_path is set); resume_training_from_save
         # additionally restores the training state (optimizers, it, rng).
-        g_path = cfg.env.generator_load_path
-        d_path = cfg.env.discriminator_load_path
-        if g_path and g_path.endswith(".pth"):
-            # warm start from reference torch checkpoints
-            from gan_sr_wind_field_tpu.utils.torch_import import (
-                load_reference_checkpoint,
-            )
-
-            params_G, params_D, stats_D = load_reference_checkpoint(
-                gan.G, g_path, gan.D,
-                d_path if d_path and d_path.endswith(".pth") else None,
-            )
-            repl = {"params_G": jax.tree.map(jnp.asarray, params_G)}
-            if params_D is not None:
-                repl["params_D"] = jax.tree.map(jnp.asarray, params_D)
-                repl["batch_stats_D"] = jax.tree.map(jnp.asarray, stats_D)
-            state = state.replace(**repl)
-            status.info(
-                f"imported reference weights G={g_path}"
-                + (f" D={d_path}" if params_D is not None else "")
-            )
+        # A found resume checkpoint supersedes the weight sources entirely
+        # (it already contains the warm-started, further-trained weights),
+        # so the warm start runs only when there is nothing to resume —
+        # including the FIRST launch of a resumable run.
+        resume_path = None
         if cfg_t.resume_training_from_save:
-            path = (cfg.env.state_load_path
-                    or ckpt.latest_checkpoint(run_folder))
-            if path:
-                state = ckpt.restore_checkpoint(path, state)
-                status.info(f"resumed from {path} at it={int(state.it)}")
-        elif g_path and not g_path.endswith(".pth"):
-            # weights-only load from an Orbax checkpoint: restore, then
-            # keep params but reset the training state
-            fresh = state
-            loaded = ckpt.restore_checkpoint(g_path, state)
-            state = fresh.replace(
-                params_G=loaded.params_G,
-                params_D=loaded.params_D,
-                batch_stats_D=loaded.batch_stats_D,
-                params_D_frozen=loaded.params_D_frozen,
-            )
-            status.info(f"loaded weights (fresh training state) from {g_path}")
+            resume_path = (cfg.env.state_load_path
+                           or ckpt.latest_checkpoint(run_folder))
+        if resume_path:
+            state = ckpt.restore_checkpoint(resume_path, state)
+            status.info(f"resumed from {resume_path} at it={int(state.it)}")
+        else:
+            g_path = cfg.env.generator_load_path
+            d_path = cfg.env.discriminator_load_path
+            g_is_pth = bool(g_path) and g_path.endswith(".pth")
+            d_is_pth = bool(d_path) and d_path.endswith(".pth")
+            if g_is_pth:
+                # warm start from reference torch checkpoints
+                from gan_sr_wind_field_tpu.utils.torch_import import (
+                    load_reference_checkpoint,
+                )
+
+                params_G, params_D, stats_D = load_reference_checkpoint(
+                    gan.G, g_path, gan.D, d_path if d_is_pth else None,
+                )
+                repl = {"params_G": jax.tree.map(jnp.asarray, params_G)}
+                if params_D is not None:
+                    repl["params_D"] = jax.tree.map(jnp.asarray, params_D)
+                    repl["batch_stats_D"] = jax.tree.map(
+                        jnp.asarray, stats_D
+                    )
+                state = state.replace(**repl)
+                status.info(
+                    f"imported reference weights G={g_path}"
+                    + (f" D={d_path}" if params_D is not None else "")
+                )
+            elif g_path:
+                # weights-only load from an Orbax checkpoint: restore,
+                # then keep params but reset the training state
+                loaded = ckpt.restore_checkpoint(g_path, state)
+                state = state.replace(
+                    params_G=loaded.params_G,
+                    params_D=loaded.params_D,
+                    batch_stats_D=loaded.batch_stats_D,
+                    params_D_frozen=loaded.params_D_frozen,
+                )
+                status.info(
+                    f"loaded weights (fresh training state) from {g_path}"
+                )
+            if d_is_pth and not g_is_pth:
+                # mixed formats: Orbax (or no) G source + a reference D
+                from gan_sr_wind_field_tpu.utils.torch_import import (
+                    load_reference_discriminator,
+                )
+
+                params_D, stats_D = load_reference_discriminator(
+                    gan.D, d_path
+                )
+                state = state.replace(
+                    params_D=jax.tree.map(jnp.asarray, params_D),
+                    batch_stats_D=jax.tree.map(jnp.asarray, stats_D),
+                )
+                status.info(f"imported reference weights D={d_path}")
 
     niter = min(cfg_t.niter, max_steps) if max_steps else cfg_t.niter
     start_it = int(state.it)

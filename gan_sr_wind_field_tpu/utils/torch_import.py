@@ -275,6 +275,17 @@ def save_reference_checkpoint(path: str, params, generator) -> str:
     return path
 
 
+def _load_state_dict(path):
+    """torch.load restricted to plain state_dict tensors; weights_only=True
+    avoids unpickling arbitrary objects from third-party .pth files."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except TypeError:  # torch too old for the kwarg
+        return torch.load(path, map_location="cpu")
+
+
 def load_reference_checkpoint(
     generator,
     g_path: str,
@@ -285,24 +296,23 @@ def load_reference_checkpoint(
 
     → (params_G, params_D or None, batch_stats_D or None).
     """
-    import torch
-
-    def _load(path):
-        # Only plain state_dict tensors are expected; weights_only=True
-        # avoids unpickling arbitrary objects from third-party .pth files.
-        try:
-            return torch.load(path, map_location="cpu", weights_only=True)
-        except TypeError:  # torch too old for the kwarg
-            return torch.load(path, map_location="cpu")
-
-    sd_g = _load(g_path)
-    params_G = import_generator_state_dict(sd_g, generator)
+    params_G = import_generator_state_dict(_load_state_dict(g_path), generator)
     params_D = batch_stats_D = None
     if d_path is not None:
         if discriminator is None:
             raise ValueError("d_path given but no discriminator module")
-        sd_d = _load(d_path)
         params_D, batch_stats_D = import_discriminator_state_dict(
-            sd_d, discriminator
+            _load_state_dict(d_path), discriminator
         )
     return params_G, params_D, batch_stats_D
+
+
+def load_reference_discriminator(discriminator, d_path: str):
+    """Load a reference ``D_{it}.pth`` alone → (params_D, batch_stats_D).
+
+    Used when the generator source is an Orbax checkpoint (or absent) but
+    the discriminator warm-start comes from a reference file
+    (env.discriminator_load_path, reference baseGAN.load_model:52-60)."""
+    return import_discriminator_state_dict(
+        _load_state_dict(d_path), discriminator
+    )

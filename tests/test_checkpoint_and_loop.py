@@ -280,3 +280,98 @@ class TestWarmStart:
         want = jax.tree_util.tree_leaves(donor.params_D)
         for a, b in zip(got, want):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_first_launch_resumable_loads_weights(self, tmp_path, rng):
+        """load_model_from_save + resume_training_from_save on a FRESH run
+        folder (nothing to resume yet) must still warm-start the weights —
+        the first launch of every preemption-resilient fine-tune."""
+        cfg = _loop_cfg(tmp_path)
+        setup_loggers(str(tmp_path / "log"), also_log_to_terminal=False)
+        ds_train, _, _, x, y = preprocess(cfg, synthetic=True,
+                                          synthetic_hours=8)
+        gan = WindFieldGAN(cfg, x, y)
+        donor = gan.init_state(
+            jax.random.key(11), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        path = ckpt.save_checkpoint(
+            str(tmp_path / "donor_run"), donor, keep_last=0
+        )
+        cfg.load_model_from_save = True
+        cfg.env.generator_load_path = str(path)
+        cfg.training.resume_training_from_save = True  # nothing to resume
+        state = train(cfg, ds_train, None, x, y)
+        assert int(state.it) == 0
+        got = jax.tree_util.tree_leaves(state.params_G)
+        want = jax.tree_util.tree_leaves(donor.params_G)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_checkpoint_supersedes_pth(self, tmp_path, rng):
+        """Once a resume checkpoint exists, the .pth warm start is skipped
+        entirely (the checkpoint already contains the further-trained
+        weights)."""
+        from gan_sr_wind_field_tpu.utils.torch_import import (
+            save_reference_checkpoint,
+        )
+
+        cfg = _loop_cfg(tmp_path)
+        setup_loggers(str(tmp_path / "log"), also_log_to_terminal=False)
+        ds_train, _, _, x, y = preprocess(cfg, synthetic=True,
+                                          synthetic_hours=8)
+        gan = WindFieldGAN(cfg, x, y)
+        pth_donor = gan.init_state(
+            jax.random.key(13), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        pth = save_reference_checkpoint(
+            str(tmp_path / "G_1.pth"), pth_donor.params_G, gan.G
+        )
+        resumed = gan.init_state(
+            jax.random.key(17), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        ).replace(it=jnp.int32(77))
+        ckpt.save_checkpoint(cfg.env.this_runs_folder, resumed, keep_last=0)
+
+        cfg.load_model_from_save = True
+        cfg.env.generator_load_path = pth
+        cfg.training.resume_training_from_save = True
+        state = train(cfg, ds_train, None, x, y, max_steps=77)
+        assert int(state.it) == 77  # checkpoint won, .pth skipped
+        got = jax.tree_util.tree_leaves(state.params_G)
+        want = jax.tree_util.tree_leaves(resumed.params_G)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_mixed_format_d_only_pth(self, tmp_path, rng, monkeypatch):
+        """discriminator_load_path=.pth with no generator source routes
+        through load_reference_discriminator and installs the D weights
+        (reference baseGAN.load_model:52-60). The .pth→flax conversion
+        itself is unit-covered in test_torch_import; this pins the loop
+        wiring, so the loader is stubbed with shape-compatible params."""
+        cfg = _loop_cfg(tmp_path)
+        setup_loggers(str(tmp_path / "log"), also_log_to_terminal=False)
+        ds_train, _, _, x, y = preprocess(cfg, synthetic=True,
+                                          synthetic_hours=8)
+        gan = WindFieldGAN(cfg, x, y)
+        donor = gan.init_state(
+            jax.random.key(19), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+        )
+        d_path = str(tmp_path / "D_1.pth")
+        open(d_path, "wb").close()  # existence sentinel only
+        seen = {}
+
+        def _fake_load(discriminator, path):
+            seen["path"] = path
+            return donor.params_D, donor.batch_stats_D
+
+        import gan_sr_wind_field_tpu.utils.torch_import as ti
+
+        monkeypatch.setattr(ti, "load_reference_discriminator", _fake_load)
+        cfg.load_model_from_save = True
+        cfg.env.discriminator_load_path = d_path
+        cfg.training.resume_training_from_save = False
+        state = train(cfg, ds_train, None, x, y)
+        assert seen["path"] == d_path
+        assert int(state.it) == 0
+        got = jax.tree_util.tree_leaves(state.params_D)
+        want = jax.tree_util.tree_leaves(donor.params_D)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
