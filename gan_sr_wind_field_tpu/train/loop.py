@@ -269,6 +269,11 @@ def train(cfg, dataset_train, dataset_validation, x, y,
 
     if old_handler is not None:
         _signal.signal(_signal.SIGTERM, old_handler)
+    if profile_dir:
+        # run ended (or was preempted) before the 10-step window closed —
+        # flush the trace so it isn't lost and the profiler session isn't
+        # left dangling for a later train() in the same process
+        jax.profiler.stop_trace()
     if int(state.it) != start_it:
         ckpt.save_checkpoint(
             run_folder, state, keep_last=cfg_t.keep_checkpoints

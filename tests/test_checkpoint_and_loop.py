@@ -375,3 +375,23 @@ class TestWarmStart:
         want = jax.tree_util.tree_leaves(donor.params_D)
         for a, b in zip(got, want):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_profile_window_flushes_on_short_run(tmp_path, rng):
+    """--profile on a run shorter than the 10-step window must still stop
+    the trace (file flushed; no dangling profiler session for a second
+    in-process train())."""
+    import glob
+
+    cfg = _loop_cfg(tmp_path, niter=2)
+    setup_loggers(str(tmp_path / "log"), also_log_to_terminal=False)
+    ds_train, _, _, x, y = preprocess(cfg, synthetic=True, synthetic_hours=8)
+    prof_dir = str(tmp_path / "prof")
+    train(cfg, ds_train, None, x, y, profile_dir=prof_dir)
+    assert glob.glob(os.path.join(prof_dir, "plugins", "profile", "*")), (
+        "no profile trace flushed"
+    )
+    # a second profiled run in the same process must not raise
+    # "trace already started"
+    cfg.env.this_runs_folder = str(tmp_path / "run2")
+    train(cfg, ds_train, None, x, y, profile_dir=str(tmp_path / "prof2"))
