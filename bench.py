@@ -118,9 +118,12 @@ def _flops_per_pair(gan, state, lr, hr, z):
     import jax
 
     try:
+        # reuse the session's already-compiled jit (same donation/cache key
+        # as the timed steps) — a fresh jax.jit wrapper would trigger a
+        # second multi-minute remote compile of the whole train step
         compiled = (
-            jax.jit(gan.train_step, static_argnames=("augment",))
-            .lower(state, lr, hr, z, augment=True)
+            gan._jit_train_step
+            .lower(state, lr, hr, z, None, augment=True)
             .compile()
         )
         ca = compiled.cost_analysis()
@@ -268,8 +271,12 @@ def main_infer(batches=(32, 64)):
             return time.perf_counter() - t0
 
         run(2)  # compile + warm
+        # per-block minima across passes before differencing, like
+        # timed_block in main(): one-off tunnel stalls otherwise corrupt
+        # whichever block they land in
         n_small, n_big = 8, 24
-        t_small, t_big = run(n_small), run(n_big)
+        t_small = min(run(n_small) for _ in range(2))
+        t_big = min(run(n_big) for _ in range(2))
         dt = (t_big - t_small) / (n_big - n_small)
         per_batch[bs] = {
             "ms_per_call": round(dt * 1e3, 2),

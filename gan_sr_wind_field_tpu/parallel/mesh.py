@@ -94,12 +94,20 @@ def _place(x, sharding: NamedSharding):
     PRNG keys round-trip through their raw key data."""
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
+    # global_shape must be passed explicitly: every process holds the FULL
+    # array, and without it make_array_from_process_local_data infers the
+    # global extent as if each host contributed only its own slice —
+    # inflating any dimension whose sharding axis spans processes
     if jax.dtypes.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+        raw = np.asarray(jax.random.key_data(x))
         kd = jax.make_array_from_process_local_data(
-            sharding, np.asarray(jax.random.key_data(x))
+            sharding, raw, global_shape=raw.shape
         )
         return jax.random.wrap_key_data(kd)
-    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+    arr = np.asarray(x)
+    return jax.make_array_from_process_local_data(
+        sharding, arr, global_shape=arr.shape
+    )
 
 
 def _param_spec(path_str: str, leaf, tp: int) -> P:

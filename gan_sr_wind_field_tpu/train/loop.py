@@ -245,8 +245,9 @@ def train(cfg, dataset_train, dataset_validation, x, y,
                 f"{ips:.2f} it/s ({ips * voxels_per_batch / 1e6:.2f} Mvox/s)"
             )
             tb.add_scalars("G_loss/train", host_m, it)
-            if "G_grad_norm" in metrics:
-                # thesis norm-during-training track (plot_data.py:521-533)
+            if "G_grad_norm" in metrics and float(metrics["is_g_step"]) > 0:
+                # thesis norm-during-training track (plot_data.py:521-533);
+                # D steps carry a hardcoded 0.0 that would corrupt the series
                 tb.add_scalars(
                     "metrics/grad",
                     {"G_grad_norm": float(metrics["G_grad_norm"])}, it,

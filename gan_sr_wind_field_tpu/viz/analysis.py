@@ -116,13 +116,18 @@ def exp_comparison_plot(
         if loss_metric in ev:
             ax[1].plot(ev[loss_metric]["step"], ev[loss_metric]["value"],
                        color="#CCCCCC")
-    # foreground pass: highlighted runs, coloured + labelled
+    # foreground pass: highlighted runs, coloured + labelled. labels map
+    # one-to-one onto the HIGHLIGHTED runs in run_dirs order (only they
+    # are labelled), not onto run_dirs
     baseline_drawn = False
-    for i, run in enumerate(run_dirs):
+    n_drawn = 0
+    for run in run_dirs:
         if run not in highlight:
             continue
         ev = events[run]
-        label = labels[i] if labels else os.path.basename(run.rstrip("/"))
+        label = (labels[n_drawn] if labels and n_drawn < len(labels)
+                 else os.path.basename(run.rstrip("/")))
+        n_drawn += 1
         if metric in ev:
             ax[0].plot(ev[metric]["step"], ev[metric]["value"], label=label)
         if loss_metric in ev:

@@ -46,6 +46,13 @@ def main():
         state, m = gan.train_step(state, lr, hr, z, augment=True)
     _ = float(m["total"])
 
+    # the alternation runs in 50-it blocks (d_g_train_period); more steps
+    # than the block would silently mix the other phase into the profile
+    if args.steps > 50:
+        print(f"clamping --steps {args.steps} -> 50 (one alternation "
+              "block; more would mix G and D phases)", file=sys.stderr)
+        args.steps = 50
+
     state = state.replace(it=jnp.int32(start_it))
     tdir = tempfile.mkdtemp(prefix="windsr_trace_")
     jax.profiler.start_trace(tdir)

@@ -177,3 +177,25 @@ def test_display_bar_renders():
     bar.update(5, 0, 20)
     out = buf.getvalue()
     assert "it 20/20" in out and "ETA" in out
+
+
+def test_exp_comparison_labels_map_to_highlighted(tmp_path):
+    """labels map one-to-one onto the highlighted runs (only they are
+    labelled) — one label for the last of three runs must not IndexError."""
+    from gan_sr_wind_field_tpu.viz.analysis import exp_comparison_plot
+
+    runs = []
+    for i in range(3):
+        d = tmp_path / f"run{i}"
+        d.mkdir()
+        with open(d / "events.jsonl", "w") as f:
+            for step in (1, 2):
+                f.write(json.dumps({
+                    "tag": "metrics/PSNR", "step": step,
+                    "values": {"val_PSNR": 30.0 + i + step},
+                }) + "\n")
+        runs.append(str(d))
+    fig = exp_comparison_plot(runs, highlight=[runs[2]], labels=["best"],
+                              band=(20, 40))
+    texts = [t.get_text() for t in fig.axes[0].get_legend().get_texts()]
+    assert texts == ["best"]
