@@ -100,3 +100,47 @@ def test_train_cli_smoke(tmp_path):
         dump = pickle.load(f)
     assert set(dump) == {"LR", "SR"}  # SR-only schema
     assert dump["SR"].shape[0] == 3
+
+
+def test_download_cli_dispatch(tmp_path, monkeypatch):
+    """run.py --download end-to-end in-process over a pre-seeded raw .nc
+    (reference run.py --download ≙ download_data path); network calls are
+    stubbed to fail like the zero-egress pods."""
+    import re
+    from datetime import date
+
+    import run as run_mod
+    from gan_sr_wind_field_tpu.data import downloader, files as dfiles
+    from test_downloader_integration import NZ, _write_fake_nc
+
+    raw_dir = tmp_path / "data" / "downloaded_raw_bessaker_data"
+    raw_dir.mkdir(parents=True)
+    day = date(2018, 3, 7)
+    _write_fake_nc(str(raw_dir / downloader.raw_filename(day, "T00Z.nc")))
+
+    import urllib.request
+
+    monkeypatch.setattr(
+        urllib.request, "urlretrieve",
+        lambda url, local: (_ for _ in ()).throw(OSError("no egress")),
+    )
+
+    cfg_src = open(os.path.join(REPO, "configs", "tiny.ini")).read()
+    cfg_src = cfg_src.replace("root_path = ./runs_root",
+                              f"root_path = {tmp_path}/runs_root")
+    cfg_src = cfg_src.replace("data_root = ./data",
+                              f"data_root = {tmp_path}/data")
+    cfg_src = cfg_src.replace("number_of_z_layers = 4",
+                              f"number_of_z_layers = {NZ}")
+    cfg_src = re.sub(r"start_date = .*", "start_date = [2018, 3, 7]",
+                     cfg_src)
+    cfg_src = re.sub(r"end_date = .*", "end_date = [2018, 3, 7]", cfg_src)
+    cfg_path = tmp_path / "dl.ini"
+    cfg_path.write_text(cfg_src)
+
+    run_mod.main(["--download", "--cfg", str(cfg_path)])
+
+    folder = dfiles.dataset_folder(str(tmp_path / "data"), f"bessaker_z{NZ}")
+    cached = [n for n in os.listdir(folder) if n.endswith(".pkl")]
+    # 12 hourly samples minus the poisoned one; T12Z was "unreachable"
+    assert len(cached) == 11
