@@ -36,6 +36,9 @@ def argv_to_cfg(argv=None):
                         "than slice_size gives true random-patch training")
     p.add_argument("--profile", action="store_true",
                    help="trace the first train iterations with jax.profiler")
+    p.add_argument("--num_samples", type=int, default=250,
+                   help="--param_search trial budget (reference "
+                        "run.py:85-98 hardcodes 250)")
     p.add_argument("--slurm_array_id", type=int, default=1)
     p.add_argument("--loglevel", default="info")
     p.add_argument("--max_steps", type=int, default=None,
@@ -157,6 +160,7 @@ def main(argv=None):
 
         param_search(
             cfg, ds_train, ds_val, x, y,
+            num_samples=args.num_samples,
             shard_index=cfg.slurm_array_id % max(
                 int(_os.environ.get("N_SHARDS", "1")), 1
             ),

@@ -144,3 +144,33 @@ def test_download_cli_dispatch(tmp_path, monkeypatch):
     cached = [n for n in os.listdir(folder) if n.endswith(".pkl")]
     # 12 hourly samples minus the poisoned one; T12Z was "unreachable"
     assert len(cached) == 11
+
+
+def test_param_search_cli_smoke(tmp_path):
+    """run.py --param_search --num_samples 2 end-to-end in a subprocess:
+    trial records JSONL + best-point summary in the run folder."""
+    import json
+
+    env = dict(os.environ)
+    env["WINDSR_PLATFORM"] = "cpu"
+    cfg_src = open(os.path.join(REPO, "configs", "tiny.ini")).read()
+    cfg_src = cfg_src.replace("root_path = ./runs_root",
+                              f"root_path = {tmp_path}/runs_root")
+    cfg_src = cfg_src.replace("data_root = ./data",
+                              f"data_root = {tmp_path}/data")
+    cfg_path = tmp_path / "sweep.ini"
+    cfg_path.write_text(cfg_src)
+
+    proc = subprocess.run(
+        [sys.executable, "run.py", "--param_search", "--synthetic",
+         "--num_samples", "2", "--cfg", str(cfg_path)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    runs = os.path.join(str(tmp_path), "runs_root", "runs")
+    run_dir = os.path.join(runs, os.listdir(runs)[0])
+    jsonl = os.path.join(run_dir, "param_search.jsonl")
+    assert os.path.exists(jsonl)
+    records = [json.loads(l) for l in open(jsonl)]
+    assert len(records) == 2
+    assert all("PSNR" in r and "point" in r for r in records)
