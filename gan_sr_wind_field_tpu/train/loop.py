@@ -177,8 +177,15 @@ def train(cfg, dataset_train, dataset_validation, x, y,
     it = start_it
     voxels_per_batch = batch_size * int(np.prod(probe_hr.shape[:3]))
     t_window, it_window = time.time(), it
-    epochs = max(1, int(np.ceil((niter - start_it) * batch_size /
-                                max(len(dataset_train), 1))) + 1)
+    # an epoch yields floor(len/local_batch) batches (drop_remainder), NOT
+    # len/batch — the old ratio-based count undercounted whenever
+    # len % batch was large (38 samples @ batch 32 → 1 batch/epoch, not
+    # 1.19) and training silently ended short of niter at iterator
+    # exhaustion
+    batches_per_epoch = max(len(dataset_train) // max(local_batch, 1), 1)
+    epochs = max(
+        1, int(np.ceil((niter - start_it) / batches_per_epoch)) + 1
+    )
 
     batch_iter = dataset_train.batches(
         local_batch, rng_np, shuffle=True, epochs=epochs
@@ -270,6 +277,11 @@ def train(cfg, dataset_train, dataset_validation, x, y,
 
     if old_handler is not None:
         _signal.signal(_signal.SIGTERM, old_handler)
+    if it < niter and not stop_signal:
+        status.warning(
+            f"batch iterator exhausted at it {it} < niter {niter} — "
+            "training ended early (epoch budget miscomputed?)"
+        )
     if profile_dir:
         # run ended (or was preempted) before the 10-step window closed —
         # flush the trace so it isn't lost and the profiler session isn't

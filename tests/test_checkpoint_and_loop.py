@@ -395,3 +395,18 @@ def test_profile_window_flushes_on_short_run(tmp_path, rng):
     # "trace already started"
     cfg.env.this_runs_folder = str(tmp_path / "run2")
     train(cfg, ds_train, None, x, y, profile_dir=str(tmp_path / "prof2"))
+
+
+def test_loop_reaches_niter_when_batch_nearly_spans_split(tmp_path):
+    """Epoch budgeting regression: with drop_remainder an epoch yields
+    floor(len/batch) batches, so len=3 @ batch=2 gives ONE batch/epoch.
+    The old ratio-based epoch count (ceil(niter*batch/len)+1) undercounted
+    and training silently ended short of niter at iterator exhaustion
+    (observed on TPU: a 600-it run ending at it 507 with 38 samples @
+    batch 32)."""
+    cfg = _loop_cfg(tmp_path, niter=10)
+    setup_loggers(str(tmp_path / "log"), also_log_to_terminal=False)
+    ds_train, _, _, x, y = preprocess(cfg, synthetic=True, synthetic_hours=4)
+    assert len(ds_train) == 3  # 80% chronological split of 4 hours
+    state = train(cfg, ds_train, None, x, y)
+    assert int(state.it) == 10
