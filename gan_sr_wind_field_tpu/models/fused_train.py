@@ -25,6 +25,7 @@ G-loss branch when ``use_fused_trunk`` is enabled (train/gan.py).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,9 @@ from gan_sr_wind_field_tpu.ops.pallas.rdb_trunk import (
 )
 
 _DN = ("NDHWC", "DHWIO", "NDHWC")
+
+# lax.scan unroll factor for the dW stage (measurement knob; see trunk_bwd)
+_DW_UNROLL = int(os.environ.get("WINDSR_DW_UNROLL", "1"))
 
 
 def _conv(v, w, pad):
@@ -165,7 +169,13 @@ def make_trainable_trunk(G, interpret: bool = False):
             return None, (dWall, dWl, dbl)
 
         xs = (states, growths, dU, dLFF)
-        _, (dWall_st, dWl_st, dbl_st) = jax.lax.scan(wstep, None, xs)
+        # unroll MEASURED A REGRESSION on v5e (G step 424.2 → 429.7/435.2 ms
+        # at unroll 1/4/8, scripts/probe_g_step.py): the rolled while-loop's
+        # double-buffered slice/DUS schedule beats the unrolled body's
+        # inflated live ranges. Keep 1; knob retained for re-measurement.
+        _, (dWall_st, dWl_st, dbl_st) = jax.lax.scan(
+            wstep, None, xs, unroll=_DW_UNROLL
+        )
         dWk_st = tuple(
             dWall_st[..., : nf + gc * k, k * gc:(k + 1) * gc]
             for k in range(K)
