@@ -65,6 +65,14 @@ def build(batch_size: int, use_remat: bool = False):
     # XLA's in-context schedule for hr_conv0 beats its standalone layout
     # by more than the kernel's lane-packing gain (see ops/pallas/hr_head.py)
     cfg.use_pallas_head = False
+    # 64 MiB scoped-VMEM budget for the XLA:TPU conv emitter — measured
+    # G step 424.9→406.8 ms on v5e (scripts/probe_xla_opts.py sweep; the
+    # compiler default ~16 MiB under-tiles the k5³ head convs). Override
+    # with WINDSR_SCOPED_VMEM_KIB=0 for an A/B baseline.
+    import os as _os
+    cfg.xla_scoped_vmem_limit_kib = int(
+        _os.environ.get("WINDSR_SCOPED_VMEM_KIB", "65536")
+    )
     cfg.gan_config.include_pressure = False
     cfg.gan_config.include_z_channel = True
     cfg.gan_config.number_of_z_layers = 10

@@ -287,6 +287,11 @@ class Config:
     # kernel regresses inside the G-train graph but the inference graph
     # schedules differently (see CLAUDE.md perf facts)
     use_pallas_head_nograd: bool = False
+    # XLA:TPU scoped-VMEM budget override (KiB) applied to the GAN's jitted
+    # steps via jit(compiler_options=...). 0 = compiler default (~16 MiB).
+    # 65536 (64 MiB) measured 4%/8% faster G/D steps on v5e (see CLAUDE.md);
+    # ignored on CPU backends, where the flag doesn't exist.
+    xla_scoped_vmem_limit_kib: int = 0
 
     env: EnvConfig = field(default_factory=EnvConfig)
     gan_config: GANConfig = field(default_factory=GANConfig)
@@ -356,6 +361,10 @@ class Config:
             )
             cfg.use_fused_trunk = _get(
                 base, "use_fused_trunk", bool, cfg.use_fused_trunk
+            )
+            cfg.xla_scoped_vmem_limit_kib = _get(
+                base, "xla_scoped_vmem_limit_kib", int,
+                cfg.xla_scoped_vmem_limit_kib,
             )
 
         def section(name):

@@ -280,11 +280,23 @@ class WindFieldGAN:
             self.lr_G = lambda it: jnp.float32(t.learning_rate_g)
             self.lr_D = lambda it: jnp.float32(t.learning_rate_d)
 
-        self._jit_train_step = jax.jit(
-            self._train_step, donate_argnums=0, static_argnames=("augment",)
+        # XLA:TPU scoped-VMEM override (cfg.xla_scoped_vmem_limit_kib): a
+        # larger fusion-scratch budget lets the conv emitter pick deeper
+        # tilings — measured G 424.7→407.0 ms, D 164.7→159.9 ms at 64 MiB
+        # on v5e (scripts/probe_xla_opts.py). Passed per-jit because client
+        # XLA_FLAGS don't reach remote compile services; skipped on CPU
+        # where the flag doesn't exist.
+        vmem_kib = int(getattr(cfg, "xla_scoped_vmem_limit_kib", 0) or 0)
+        copts = (
+            {"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)}
+            if vmem_kib > 0 and jax.default_backend() != "cpu" else None
         )
-        self._jit_val_step = jax.jit(self._val_step)
-        self._jit_generate = jax.jit(self._generate)
+        self._jit_train_step = jax.jit(
+            self._train_step, donate_argnums=0, static_argnames=("augment",),
+            compiler_options=copts,
+        )
+        self._jit_val_step = jax.jit(self._val_step, compiler_options=copts)
+        self._jit_generate = jax.jit(self._generate, compiler_options=copts)
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng, lr_shape, hr_shape) -> GANTrainState:

@@ -7,10 +7,12 @@ into the compile request, so this is the way to probe TPU compiler knobs
 (e.g. xla_tpu_scoped_vmem_limit_kib) over the tunnel.
 
     python scripts/probe_xla_opts.py '{"xla_tpu_scoped_vmem_limit_kib": "65536"}'
-    python scripts/probe_xla_opts.py '{}'   # AOT-path baseline
+    python scripts/probe_xla_opts.py '{}'       # AOT-path baseline
+    python scripts/probe_xla_opts.py '{...}' --d  # also time the D block
 
-Prints one JSON line {"g_step_ms": ..., "opts": {...}}. Timing matches
-scripts/probe_g_step.py (fenced N-vs-2N differencing on a scalar fetch).
+Prints one JSON line {"g_step_ms": ..., "d_step_ms": ..., "opts": {...}}.
+Timing matches scripts/probe_g_step.py (fenced N-vs-2N differencing on a
+scalar fetch).
 """
 
 import json
@@ -26,7 +28,12 @@ from bench import build, setup_compile_cache  # noqa: E402
 def main():
     import jax.numpy as jnp
 
-    opts = json.loads(sys.argv[1]) if len(sys.argv) > 1 else {}
+    argv = [a for a in sys.argv[1:] if a != "--d"]
+    opts = json.loads(argv[0]) if argv else {}
+    # the A/B must control compiler options alone: zero bench.build()'s
+    # own scoped-VMEM default so the probe's compile() opts are the only
+    # overrides in the executable
+    os.environ["WINDSR_SCOPED_VMEM_KIB"] = "0"
     setup_compile_cache()
 
     gan, state, lr, hr, z = build(32)
@@ -57,6 +64,8 @@ def main():
         return (t_big - t_small) / (n_big - n_small)
 
     print(json.dumps({"g_step_ms": round(timed_block(0) * 1e3, 2),
+                      "d_step_ms": round(timed_block(50) * 1e3, 2)
+                      if "--d" in sys.argv else None,
                       "opts": opts}))
 
 

@@ -97,3 +97,50 @@ def test_feature_extractor_section_roundtrip(tmp_path):
     assert cfg.feature_extractor.high_level_feat_layer == 30
     assert "FEATUREEXTRACTOR" in cfg.as_ini()
     assert Config().feature_extractor.high_level_feat_layer == 34
+
+
+def test_xla_scoped_vmem_knob_roundtrip():
+    """TPU compiler knob: INI round-trip + default-off."""
+    from gan_sr_wind_field_tpu.config import Config
+
+    cfg = Config.from_ini(LOCAL_INI)
+    assert cfg.xla_scoped_vmem_limit_kib == 0  # default: compiler decides
+    cfg.xla_scoped_vmem_limit_kib = 65536
+    cfg2 = Config.from_ini_string(cfg.as_ini())
+    assert cfg2.xla_scoped_vmem_limit_kib == 65536
+
+
+def test_xla_scoped_vmem_knob_skipped_on_cpu():
+    """With the knob set, the GAN's jits must skip the TPU-only compiler
+    option on CPU backends (it doesn't exist there) and still run."""
+    import numpy as np
+    import jax
+
+    from gan_sr_wind_field_tpu.config import Config
+    from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+
+    cfg = Config.from_ini(LOCAL_INI)
+    cfg.xla_scoped_vmem_limit_kib = 65536
+    cfg.compute_dtype = "float32"
+    g = cfg.generator
+    g.num_features = 8
+    g.num_RRDB = 1
+    g.num_RDB_convs = 2
+    g.RDB_growth_chan = 4
+    g.terrain_number_of_features = 4
+    cfg.discriminator.num_features = 4
+    cfg.gan_config.enable_slicing = True
+    cfg.gan_config.slice_size = 16
+
+    x = np.arange(16, dtype=np.float32) * 150.0
+    gan = WindFieldGAN(cfg, x, x)
+    rng = np.random.default_rng(0)
+    lr_shape, hr_shape = (2, 4, 4, 10, 4), (2, 16, 16, 10, 3)
+    state = gan.init_state(jax.random.key(0), lr_shape, hr_shape)
+    lr = rng.standard_normal(lr_shape).astype(np.float32) * 0.1
+    hr = rng.standard_normal(hr_shape).astype(np.float32) * 0.1
+    z = np.cumsum(
+        1.0 + rng.random((2, 16, 16, 10, 1)), axis=3
+    ).astype(np.float32)
+    state, m = gan.train_step(state, lr, hr, z, augment=True)
+    assert np.isfinite(float(m["total"]))
