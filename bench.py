@@ -214,14 +214,19 @@ def main(retry_reason=None):
         if pair_flops and peak else None
     )
     # v4-8 projection toward the >=20x target: measured per-chip throughput
-    # x peak-FLOPs ratio (v4/v5e bf16) x 8 chips x DP efficiency. The DP
-    # efficiency is an estimate (0.95): pure data parallelism over ICI
-    # all-reduces ~183 MB of fp32 grads per step against a ~500 ms step —
-    # well under ICI bandwidth — and the dp mesh path is parity-tested on
-    # the 8-device virtual mesh (tests/test_parallel.py); no multi-chip
-    # hardware exists in this environment to measure it directly.
+    # x peak-FLOPs ratio (v4/v5e bf16) x 4 chips x DP efficiency. A "v4-8"
+    # slice is 8 TensorCores = 4 megacore chips (PEAK_FLOPS["v4"] is
+    # per-chip, both cores). The DP efficiency is an estimate (0.95): pure
+    # data parallelism over ICI all-reduces ~183 MB of fp32 grads per step
+    # against a ~500 ms step — well under ICI bandwidth — and the dp mesh
+    # path is parity-tested on the 8-device virtual mesh
+    # (tests/test_parallel.py); no multi-chip hardware exists in this
+    # environment to measure it directly.
     DP_EFF = 0.95
-    v48_vps = vps * (PEAK_FLOPS["v4"] / peak if peak else 1.0) * 8 * DP_EFF
+    V48_CHIPS = 4
+    v48_vps = (
+        vps * (PEAK_FLOPS["v4"] / peak if peak else 1.0) * V48_CHIPS * DP_EFF
+    )
     out = {
         "metric": "train_step_voxels_per_sec_per_chip",
         "value": round(vps, 1),
@@ -237,7 +242,8 @@ def main(retry_reason=None):
             "v4_8_projection": {
                 "voxels_per_sec": round(v48_vps, 1),
                 "vs_baseline": round(v48_vps / BASELINE_VOXELS_PER_SEC, 2),
-                "assumptions": "peak-FLOPs ratio v4/v5e, 8 chips, "
+                "assumptions": "peak-FLOPs ratio v4/v5e, 4 megacore chips "
+                               "(8 TensorCores), "
                                f"dp_efficiency={DP_EFF} (estimated; "
                                "virtual-mesh parity-tested only)",
             },

@@ -289,7 +289,8 @@ class WindFieldGAN:
         vmem_kib = int(getattr(cfg, "xla_scoped_vmem_limit_kib", 0) or 0)
         copts = (
             {"xla_tpu_scoped_vmem_limit_kib": str(vmem_kib)}
-            if vmem_kib > 0 and jax.default_backend() != "cpu" else None
+            if vmem_kib > 0
+            and jax.default_backend() in ("tpu", "axon") else None
         )
         self._jit_train_step = jax.jit(
             self._train_step, donate_argnums=0, static_argnames=("augment",),

@@ -28,7 +28,14 @@ from bench import build, setup_compile_cache  # noqa: E402
 def main():
     import jax.numpy as jnp
 
-    argv = [a for a in sys.argv[1:] if a != "--d"]
+    passes = 2
+    if "--passes" in sys.argv:
+        passes = int(sys.argv[sys.argv.index("--passes") + 1])
+    argv = [
+        a for a in sys.argv[1:]
+        if not a.startswith("--")
+        and (sys.argv[sys.argv.index(a) - 1] != "--passes")
+    ]
     opts = json.loads(argv[0]) if argv else {}
     # the A/B must control compiler options alone: zero bench.build()'s
     # own scoped-VMEM default so the probe's compile() opts are the only
@@ -57,7 +64,7 @@ def main():
         _ = float(m["total"])
         return time.perf_counter() - t0
 
-    def timed_block(start_it, n_small=6, n_big=18, passes=2):
+    def timed_block(start_it, n_small=6, n_big=18):
         run_block(start_it, 2)
         t_small = min(run_block(start_it, n_small) for _ in range(passes))
         t_big = min(run_block(start_it, n_big) for _ in range(passes))
