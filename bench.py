@@ -44,7 +44,7 @@ def setup_compile_cache(min_compile_secs: float = 5.0) -> None:
         print(f"# compilation cache unavailable: {e}", file=sys.stderr)
 
 
-def build(batch_size: int, use_remat: bool = False):
+def build(batch_size: int, use_remat: bool = False, scale: int = 4):
     # measured on v5e: batch 32 fits HBM without remat; remat costs +18% G-step
     # time (758→623 ms without). Larger volumes/batches should re-enable it.
     import jax
@@ -53,7 +53,7 @@ def build(batch_size: int, use_remat: bool = False):
     from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
 
     cfg = Config()
-    cfg.scale = 4
+    cfg.scale = scale
     cfg.compute_dtype = "bfloat16"
     # fused Pallas RRDB trunk for the D branch's no-grad G forward
     # (measured: G forward 390->304 ms at this geometry)
@@ -107,7 +107,7 @@ def build(batch_size: int, use_remat: bool = False):
     gan = WindFieldGAN(cfg, x, x)
 
     rng = np.random.default_rng(0)
-    lr_shape = (batch_size, size // 4, size // 4, zl, 4)
+    lr_shape = (batch_size, size // scale, size // scale, zl, 4)
     hr_shape = (batch_size, size, size, zl, 3)
     state = gan.init_state(jax.random.key(0), lr_shape, hr_shape)
     lr = jax.device_put(rng.standard_normal(lr_shape).astype(np.float32) * 0.1)
