@@ -73,6 +73,13 @@ def build(batch_size: int, use_remat: bool = False, scale: int = 4):
     cfg.xla_scoped_vmem_limit_kib = int(
         _os.environ.get("WINDSR_SCOPED_VMEM_KIB", "65536")
     )
+    # hr_conv0 forward as full-lane main conv + tap-stacked remainder on
+    # the NO-GRAD forwards (D steps / inference) — measured D step
+    # 160.8→156.2 ms; regresses in the G-train graph, so nograd-only.
+    # WINDSR_SPLIT_HR_OUT=0 for an A/B baseline.
+    cfg.split_hr_out_nograd = (
+        _os.environ.get("WINDSR_SPLIT_HR_OUT", "1") == "1"
+    )
     cfg.gan_config.include_pressure = False
     cfg.gan_config.include_z_channel = True
     cfg.gan_config.number_of_z_layers = 10

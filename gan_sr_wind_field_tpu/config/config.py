@@ -287,6 +287,12 @@ class Config:
     # kernel regresses inside the G-train graph but the inference graph
     # schedules differently (see CLAUDE.md perf facts)
     use_pallas_head_nograd: bool = False
+    # hr_conv0 forward as full-lane main conv + tap-stacked remainder
+    # (ops/tap_conv.py:conv3d_split_out) on the NO-GRAD forwards (D steps,
+    # validation SR, serving) — pure-XLA reassociation, measured D step
+    # 160.8→156.2 ms on v5e; regresses inside the G-train graph (→ off
+    # there), same scheduling lesson as use_pallas_head
+    split_hr_out_nograd: bool = True
     # XLA:TPU scoped-VMEM budget override (KiB) applied to the GAN's jitted
     # steps via jit(compiler_options=...). 0 = compiler default (~16 MiB).
     # 65536 (64 MiB) measured 4%/8% faster G/D steps on v5e (see CLAUDE.md);
@@ -361,6 +367,9 @@ class Config:
             )
             cfg.use_fused_trunk = _get(
                 base, "use_fused_trunk", bool, cfg.use_fused_trunk
+            )
+            cfg.split_hr_out_nograd = _get(
+                base, "split_hr_out_nograd", bool, cfg.split_hr_out_nograd
             )
             cfg.xla_scoped_vmem_limit_kib = _get(
                 base, "xla_scoped_vmem_limit_kib", int,

@@ -157,6 +157,35 @@ class TapStackedConv(nn.Module):
         return out
 
 
+class SplitOutConv(nn.Module):
+    """Bias-free `nn.Conv` drop-in (``kernel`` DHWIO param) whose forward
+    runs as a full-lane main conv + tap-stacked remainder conv
+    (ops/tap_conv.py:conv3d_split_out). Same params, reassociated compute —
+    built for the generator's 128→144 hr_conv0, where 144 output channels
+    waste 44% of the padded MXU lanes on all 125 k=5³ taps."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    padding: Tuple[int, int, int]
+    kernel_init: Any = nn.initializers.lecun_normal()
+    dtype: Optional[Dtype] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from gan_sr_wind_field_tpu.ops.tap_conv import conv3d_split_out
+
+        k = _triple(self.kernel_size)
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            k + (x.shape[-1], self.features), self.param_dtype,
+        )
+        cdt = self.dtype or x.dtype
+        pad = _triple(self.padding)
+        assert pad[0] == pad[1] == pad[2], "cubic SAME padding only"
+        return conv3d_split_out(x.astype(cdt), kernel.astype(cdt), pad[0])
+
+
 class ConvLReLU(nn.Module):
     """Conv3D (+BatchNorm/InstanceNorm) (+LeakyReLU), CNA order.
 

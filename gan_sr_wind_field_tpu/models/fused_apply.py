@@ -148,10 +148,27 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
             # the default 144→16 transposed conv costs 27.7 ms/G-step)
             from gan_sr_wind_field_tpu.ops.tap_conv import conv3d_tap_dx
 
-            ct = conv3d_tap_dx(t, Wt.astype(cdt), hp)
+            if getattr(G, "split_hr_out", False):
+                # output-split forward + tap-stacked input grad combined
+                from gan_sr_wind_field_tpu.ops.tap_conv import (
+                    conv3d_split_out,
+                )
+
+                ct = conv3d_split_out(t, Wt.astype(cdt), hp, tap_dx=True)
+            else:
+                ct = conv3d_tap_dx(t, Wt.astype(cdt), hp)
         else:
             ct = conv(t, Wt, hp)
-        x = lrelu(conv(x, Wx, hp) + ct)
+        if getattr(G, "split_hr_out", False) and G.hr_kern_size > 1:
+            # full-lane 128-out conv + tap-stacked 16-out remainder
+            # (ops/tap_conv.py:conv3d_split_out) — same math, ~1.7× fewer
+            # padded MACs than one 144-out conv
+            from gan_sr_wind_field_tpu.ops.tap_conv import conv3d_split_out
+
+            cx = conv3d_split_out(x, Wx.astype(cdt), hp)
+        else:
+            cx = conv(x, Wx, hp)
+        x = lrelu(cx + ct)
     else:
         x = lrelu(conv(
             jnp.concatenate([x, t], axis=-1),

@@ -71,6 +71,12 @@ class Generator3D(nn.Module):
     # (ops/pallas/hr_head.py) on the fused forward paths
     # (models/fused_apply.py) — the flax __call__ itself keeps XLA
     pallas_head: bool = False
+    # compute hr_conv0_x's forward as a full-lane 128-out conv plus a
+    # tap-stacked 16-out remainder (ops/tap_conv.py:conv3d_split_out):
+    # 144 output channels pad to 2 MXU lane tiles on all 125 k=5³ taps;
+    # the split costs the same FLOPs at ~1.7× fewer padded MACs. Same
+    # params/math; backward keeps the unsplit conv's (full-lane) ops.
+    split_hr_out: bool = False
 
     @nn.compact
     def __call__(self, lr, z_terrain, train: bool = True, rng_key=None):
@@ -166,9 +172,21 @@ class Generator3D(nn.Module):
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
             )
-            x = nn.Conv(**conv_kw, name="hr_conv0_x")(x) + nn.Conv(
-                **conv_kw, name="hr_conv0_t"
-            )(t)
+            if self.split_hr_out and self.hr_kern_size > 1:
+                from gan_sr_wind_field_tpu.models.blocks import SplitOutConv
+
+                cx = SplitOutConv(
+                    features=hr_feats,
+                    kernel_size=_triple(self.hr_kern_size),
+                    padding=_triple(hr_pad),
+                    kernel_init=kaiming_scaled(self.init_scale),
+                    dtype=self.dtype,
+                    param_dtype=jnp.float32,
+                    name="hr_conv0_x",
+                )(x)
+            else:
+                cx = nn.Conv(**conv_kw, name="hr_conv0_x")(x)
+            x = cx + nn.Conv(**conv_kw, name="hr_conv0_t")(t)
             x = nn.leaky_relu(x, negative_slope=self.negative_slope)
         else:
             x = jnp.concatenate([x, t], axis=-1)

@@ -96,6 +96,77 @@ def _conv_tap_dx(padding: int):
     return f
 
 
+@functools.lru_cache(maxsize=8)
+def _conv_split_out(padding: int, cm: int, tap_dx: bool):
+    def base(x, w):
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1, 1),
+            padding=[(padding, padding)] * 3, dimension_numbers=_DN,
+        )
+
+    def split_fwd(x, w):
+        main = base(x, w[..., :cm])
+        rem = tap_stacked_conv3d(x, w[..., cm:], padding)
+        return jnp.concatenate([main, rem.astype(main.dtype)], axis=-1)
+
+    @jax.custom_vjp
+    def f(x, w):
+        return split_fwd(x, w)
+
+    def fwd(x, w):
+        return split_fwd(x, w), (x, w)
+
+    def bwd(res, dy):
+        # backward defaults to the plain conv's own autodiff ops (transposed
+        # conv for dx, batch-spatial contraction for dw) — those are
+        # full-lane already when C_in is wide; only the forward's
+        # output-lane padding was the measured waste. tap_dx=True instead
+        # tap-stacks the input grad (flipped-kernel forward conv) for
+        # few-C_in convs like the 16-channel terrain branch, where the
+        # transposed conv's C_in output lanes idle the MXU.
+        x, w = res
+        if tap_dx:
+            wT = jnp.flip(w, (0, 1, 2)).swapaxes(3, 4)
+            dx = tap_stacked_conv3d(dy, wT, padding).astype(x.dtype)
+        else:
+            dx = jax.linear_transpose(lambda v: base(v, w), x)(dy)[0]
+        dw = jax.linear_transpose(lambda W: base(x, W), w)(dy)[0]
+        return dx, dw
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def conv3d_split_out(x, kernel, padding: int, lane: int = 128,
+                     tap_dx: bool = False):
+    """`conv_general_dilated(x, kernel, SAME)` whose FORWARD splits the
+    output channels into a full-lane-multiple main conv plus a tap-stacked
+    remainder conv (ops above); identical math, fewer padded MACs.
+
+    For the generator's hr_conv0 (128→144 k=5³, models/generator.py —
+    reference Generator_3D_Resnet_ESRGAN.py:183-222): 144 output channels
+    pad to 2×128 MXU lane tiles (56% utilisation) on every one of the 125
+    taps. Splitting into a 128-out conv (100% lanes) + a 16-out conv whose
+    25 xy-taps stack to 400 lanes (78%) costs the same FLOPs at ~1.7× fewer
+    padded MACs. The custom VJP keeps the UNSPLIT conv's own backward ops,
+    which are full-lane already. Falls back to the plain conv when the
+    output width doesn't straddle a lane-tile boundary.
+    """
+    cout = kernel.shape[-1]
+    cm = (cout // lane) * lane
+    if cm == 0 or cm == cout or kernel.shape[0] == 1:
+        if tap_dx:
+            return conv3d_tap_dx(x, kernel, padding)
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1, 1),
+            padding=[(padding, padding)] * 3, dimension_numbers=_DN,
+        )
+    if tap_dx:
+        kx, ky, kz = kernel.shape[:3]
+        assert kx == ky == kz and kx % 2 == 1 and padding == (kx - 1) // 2
+    return _conv_split_out(padding, cm, tap_dx)(x, kernel)
+
+
 def conv3d_tap_dx(x, kernel, padding: int):
     """`conv_general_dilated(x, kernel, SAME)` whose custom VJP computes the
     INPUT gradient as a tap-stacked flipped-weight forward conv.

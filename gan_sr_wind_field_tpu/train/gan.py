@@ -141,12 +141,21 @@ class WindFieldGAN:
                     f"[{sec}] conv_mode={val} is ignored; models use "
                     f"[GAN] conv_mode={g.conv_mode} (reference semantics)"
                 )
-        # optional head-kernel spec for the no-grad forward only (D steps /
-        # inference): the kernel's schedule context differs from the G-train
-        # graph where it was measured to regress
+        # optional overrides for the no-grad forward only (D steps,
+        # validation SR, serving): these schedule-sensitive reassociations
+        # measured a WIN in the no-grad graph but a REGRESSION inside the
+        # G-train graph (scripts/probe_g_step.py A/B on v5e) — the pallas
+        # head kernel loses in both and stays off by default
+        nograd_overrides = {}
+        if getattr(cfg, "use_pallas_head_nograd", False):
+            nograd_overrides["pallas_head"] = True
+        if getattr(cfg, "split_hr_out_nograd", True):
+            # hr_conv0 forward as full-lane main conv + tap-stacked
+            # remainder: D step 160.8 -> 156.2 ms measured; the G-train
+            # graph regressed (407.6 -> 419.1), so it stays train-off
+            nograd_overrides["split_hr_out"] = True
         self._G_nograd = (
-            self.G.clone(pallas_head=True)
-            if getattr(cfg, "use_pallas_head_nograd", False) else self.G
+            self.G.clone(**nograd_overrides) if nograd_overrides else self.G
         )
         self.D = Discriminator3D(
             in_channels=cfg.discriminator.in_num_ch,
@@ -358,7 +367,10 @@ class WindFieldGAN:
                         out_specs=P("data"), check_vma=False,
                     )
                 return fn(params_G, lr, z)
-        return self.G.apply({"params": params_G}, lr, z, train=False)
+        # flax fallback honours the no-grad overrides too (split_hr_out
+        # engages SplitOutConv for hr_conv0_x; pallas_head is a fused-path
+        # attribute the flax __call__ ignores)
+        return self._G_nograd.apply({"params": params_G}, lr, z, train=False)
 
     def _g_forward_train(self, params_G, lr, z, train, dropout_key):
         """Differentiable G forward: fused Pallas trunk with the hand-written

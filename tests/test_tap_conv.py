@@ -116,3 +116,108 @@ def test_generator_flag_parity(rng):
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
     )
+
+
+def test_conv3d_split_out_value_and_grads(rng):
+    """conv3d_split_out: forward (split main + tap-stacked remainder) and
+    both grads match the direct conv. lane=4 so cout=6 straddles a tile."""
+    from gan_sr_wind_field_tpu.ops.tap_conv import conv3d_split_out
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 5, 5)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 5, 6)) * 0.1, jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((2, 6, 6, 5, 6)), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(conv3d_split_out(x, k, 1, lane=4)),
+        np.asarray(_direct(x, k, 1)), rtol=1e-5, atol=1e-5,
+    )
+
+    def loss(fn, xx, kk):
+        return jnp.sum(fn(xx, kk) * ct)
+
+    gx_a, gk_a = jax.grad(
+        lambda xx, kk: loss(
+            lambda a, b: conv3d_split_out(a, b, 1, lane=4), xx, kk
+        ),
+        argnums=(0, 1),
+    )(x, k)
+    gx_b, gk_b = jax.grad(
+        lambda xx, kk: loss(lambda a, b: _direct(a, b, 1), xx, kk),
+        argnums=(0, 1),
+    )(x, k)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_a), np.asarray(gk_b),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv3d_split_out_fallback(rng):
+    """cout below/at one lane tile falls back to the plain conv."""
+    from gan_sr_wind_field_tpu.ops.tap_conv import conv3d_split_out
+
+    x = jnp.asarray(rng.standard_normal((1, 5, 5, 4, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 4)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(conv3d_split_out(x, k, 1, lane=8)),
+        np.asarray(_direct(x, k, 1)), rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_generator_split_hr_out_parity(rng):
+    """split_hr_out on/off: identical param trees and outputs at the real
+    head width (128 trunk + 16 terrain = 144 straddles the 128 lane)."""
+    from gan_sr_wind_field_tpu.models import Generator3D
+
+    kw = dict(
+        in_channels=4, out_channels=3, num_features=128, num_rrdb=1,
+        upscale=4, hr_kern_size=3, num_rdb_convs=2, rdb_growth_channels=4,
+        terrain_features=16, dropout_probability=0.0, remat=False,
+    )
+    g_on = Generator3D(**kw, split_hr_out=True)
+    g_off = Generator3D(**kw, split_hr_out=False)
+    lr = jnp.asarray(rng.standard_normal((1, 3, 3, 4, 4)), jnp.float32)
+    zt = jnp.asarray(rng.standard_normal((1, 12, 12, 4, 1)), jnp.float32)
+    params = g_on.init(jax.random.key(0), lr, zt, train=False)["params"]
+    params_off = g_off.init(jax.random.key(0), lr, zt, train=False)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_off)
+    assert params["hr_conv0_x"]["kernel"].shape == (3, 3, 3, 128, 144)
+    a = g_on.apply({"params": params}, lr, zt, train=False)
+    b = g_off.apply({"params": params}, lr, zt, train=False)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_conv3d_split_out_tap_dx(rng):
+    """split-out forward + tap-stacked input grad (the terrain-conv combo):
+    value and both grads match the direct conv."""
+    from gan_sr_wind_field_tpu.ops.tap_conv import conv3d_split_out
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 5, 3)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 7)) * 0.1, jnp.float32)
+    ct = jnp.asarray(rng.standard_normal((1, 6, 6, 5, 7)), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(conv3d_split_out(x, k, 1, lane=4, tap_dx=True)),
+        np.asarray(_direct(x, k, 1)), rtol=1e-5, atol=1e-5,
+    )
+
+    def loss(fn, xx, kk):
+        return jnp.sum(fn(xx, kk) * ct)
+
+    gx_a, gk_a = jax.grad(
+        lambda xx, kk: loss(
+            lambda a, b: conv3d_split_out(a, b, 1, lane=4, tap_dx=True),
+            xx, kk,
+        ),
+        argnums=(0, 1),
+    )(x, k)
+    gx_b, gk_b = jax.grad(
+        lambda xx, kk: loss(lambda a, b: _direct(a, b, 1), xx, kk),
+        argnums=(0, 1),
+    )(x, k)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_a), np.asarray(gk_b),
+                               rtol=1e-4, atol=1e-4)
