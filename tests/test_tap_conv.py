@@ -221,3 +221,42 @@ def test_conv3d_split_out_tap_dx(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk_a), np.asarray(gk_b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_generator_forward_split_halves_parity(rng):
+    """The concat-free split-halves head in generator_forward (the no-grad
+    perf path) matches the unsplit head exactly — same stub trunk, same
+    params, train=False and train=True (same dropout key/mask draw)."""
+    from gan_sr_wind_field_tpu.models import Generator3D
+    from gan_sr_wind_field_tpu.models.fused_apply import generator_forward
+
+    kw = dict(
+        in_channels=4, out_channels=3, num_features=128, num_rrdb=1,
+        upscale=4, hr_kern_size=3, num_rdb_convs=2, rdb_growth_channels=4,
+        terrain_features=16, dropout_probability=0.3, remat=False,
+    )
+    g_on = Generator3D(**kw, split_hr_out=True)
+    g_off = Generator3D(**kw, split_hr_out=False)
+    lr = jnp.asarray(rng.standard_normal((2, 3, 3, 4, 4)), jnp.float32)
+    zt = jnp.asarray(rng.standard_normal((2, 12, 12, 4, 1)), jnp.float32)
+    params = g_on.init(jax.random.key(0), lr, zt, train=False)["params"]
+
+    def trunk_fn(v):
+        return v * 0.9 + 0.05  # deterministic stand-in for the RRDB trunk
+
+    a = generator_forward(g_on, params, lr, zt, trunk_fn, train=False)
+    b = generator_forward(g_off, params, lr, zt, trunk_fn, train=False)
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+    )
+
+    key = jax.random.key(7)
+    a = generator_forward(
+        g_on, params, lr, zt, trunk_fn, train=True, dropout_key=key
+    )
+    b = generator_forward(
+        g_off, params, lr, zt, trunk_fn, train=True, dropout_key=key
+    )
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+    )
