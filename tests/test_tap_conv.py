@@ -260,3 +260,26 @@ def test_generator_forward_split_halves_parity(rng):
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
     )
+
+
+def test_conv3d_split_out_sharded_parity(rng):
+    """conv3d_split_out under GSPMD (batch-sharded jit on the virtual mesh)
+    matches the single-device result — the no-grad D branch runs it on
+    data-parallel meshes via the _G_nograd flax fallback."""
+    import jax.numpy as jnp_  # noqa: F401
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gan_sr_wind_field_tpu.ops.tap_conv import conv3d_split_out
+    from gan_sr_wind_field_tpu.parallel import make_mesh
+
+    mesh = make_mesh(4, 1)
+    x = jnp.asarray(rng.standard_normal((4, 6, 6, 5, 5)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 5, 6)) * 0.1, jnp.float32)
+
+    ref = conv3d_split_out(x, k, 1, lane=4)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ks = jax.device_put(k, NamedSharding(mesh, P()))
+    got = jax.jit(lambda a, b: conv3d_split_out(a, b, 1, lane=4))(xs, ks)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
