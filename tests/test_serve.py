@@ -81,3 +81,29 @@ def test_from_checkpoint(tmp_path, rng):
     zt = rng.standard_normal((16, 16, 4, 1)).astype(np.float32)
     out = sr.upscale(lr, zt)
     assert np.all(np.isfinite(out))
+
+
+def test_tiled_batched_matches_batch1(rng):
+    """Tile batching is a pure throughput change: batch=4 (9 tiles → a
+    padded, masked final chunk) reproduces batch=1 tiling."""
+    sr, _ = _make_sr()
+    lr = rng.standard_normal((8, 8, 4, 4)).astype(np.float32) * 0.1
+    zt = rng.standard_normal((32, 32, 4, 1)).astype(np.float32)
+    a = sr.upscale_tiled(lr, zt, tile=4, overlap=2, batch=1)
+    b = sr.upscale_tiled(lr, zt, tile=4, overlap=2, batch=4)
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_device_pipeline_matches_host_loop(rng):
+    """The device-resident tiled pipeline (one upload, on-device slicing +
+    blending, one download) equals the host-loop fallback used on meshes."""
+    from gan_sr_wind_field_tpu.parallel import make_mesh
+
+    sr, _ = _make_sr()
+    lr = rng.standard_normal((8, 8, 4, 4)).astype(np.float32) * 0.1
+    zt = rng.standard_normal((32, 32, 4, 1)).astype(np.float32)
+    dev = sr.upscale_tiled(lr, zt, tile=4, overlap=2, batch=4)
+
+    sr_host = WindFieldSR(sr.gan, sr.params_G, mesh=make_mesh(1, 1))
+    host = sr_host.upscale_tiled(lr, zt, tile=4, overlap=2, batch=4)
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
