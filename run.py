@@ -25,6 +25,11 @@ def argv_to_cfg(argv=None):
     p.add_argument("--train", action="store_true")
     p.add_argument("--test", action="store_true")
     p.add_argument("--use", action="store_true")
+    p.add_argument("--export", metavar="PATH", default=None,
+                   help="serialize the generator (weights baked in) to a "
+                        "self-contained jax.export artifact at PATH and "
+                        "exit; loads weights like --use "
+                        "(eval/export.py — no reference equivalent)")
     p.add_argument("--download", action="store_true")
     p.add_argument("--param_search", action="store_true")
     p.add_argument("--synthetic", action="store_true",
@@ -208,8 +213,7 @@ def main(argv=None):
         run_test(cfg, ds_test, x, y)
         return
 
-    if cfg.is_use:
-        from gan_sr_wind_field_tpu.eval.test_loop import run_use
+    if cfg.is_use or args.export:
         from gan_sr_wind_field_tpu.train import checkpoint as ckpt
         from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
 
@@ -236,7 +240,19 @@ def main(argv=None):
             state = ckpt.restore_checkpoint(path, example)
         else:
             state = example
-        run_use(cfg, ds_test, x, y, state=state)
+        if args.export:
+            from gan_sr_wind_field_tpu.eval.export import export_generator
+
+            header = export_generator(gan, state.params_G, args.export)
+            status.info(
+                f"exported generator -> {args.export} "
+                f"(platforms {header['platforms']}, "
+                f"lr_shape {header['lr_shape']})"
+            )
+        if cfg.is_use:
+            from gan_sr_wind_field_tpu.eval.test_loop import run_use
+
+            run_use(cfg, ds_test, x, y, state=state)
         return
 
     print("nothing to do: pass --train, --test, --use, --download, "

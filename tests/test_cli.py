@@ -101,6 +101,33 @@ def test_train_cli_smoke(tmp_path):
     assert set(dump) == {"LR", "SR"}  # SR-only schema
     assert dump["SR"].shape[0] == 3
 
+    # ---- chain: deployment artifact through the --export CLI, then load
+    # it with zero model/config infrastructure (eval/export.py)
+    artifact = str(tmp_path / "generator.wsrx")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"),
+         "--export", artifact, "--synthetic", "--cfg", str(cfg_test_path)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert os.path.exists(artifact)
+
+    import numpy as np
+
+    from gan_sr_wind_field_tpu.eval.export import load_exported
+
+    sr = load_exported(artifact)
+    b, X, Y, zl, cin = [d if d != "b" else 2 for d in sr.header["lr_shape"]]
+    s = sr.header["scale"]
+    rng = np.random.default_rng(0)
+    out = sr.upscale(
+        rng.standard_normal((b, X, Y, zl, cin)).astype(np.float32) * 0.1,
+        rng.standard_normal((b, X * s, Y * s, zl, 1)).astype(np.float32),
+    )
+    assert out.shape == (b, X * s, Y * s, zl, 3)
+    assert np.all(np.isfinite(out))
+
 
 def test_download_cli_dispatch(tmp_path, monkeypatch):
     """run.py --download end-to-end in-process over a pre-seeded raw .nc

@@ -1,0 +1,74 @@
+"""jax.export deployment artifact: round-trip, batch polymorphism, format."""
+
+import numpy as np
+
+import jax
+import pytest
+
+from gan_sr_wind_field_tpu.eval.export import (
+    ExportedSR,
+    export_generator,
+    load_exported,
+)
+from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+from test_train_step import tiny_cfg
+
+
+def _make_gan():
+    cfg = tiny_cfg()
+    cfg.generator.dropout_probability = 0.0
+    x = np.arange(16, dtype=np.float32) * 150
+    gan = WindFieldGAN(cfg, x, x)
+    state = gan.init_state(
+        jax.random.key(0), (1, 4, 4, 4, 4), (1, 16, 16, 4, 3)
+    )
+    return gan, state.params_G
+
+
+def test_export_roundtrip_matches_generate(tmp_path, rng):
+    gan, params_G = _make_gan()
+    path = str(tmp_path / "generator.wsrx")
+    header = export_generator(gan, params_G, path)
+    assert header["scale"] == 4 and header["batch_polymorphic"]
+
+    sr = load_exported(path)
+    assert isinstance(sr, ExportedSR)
+    lr = rng.standard_normal((4, 4, 4, 4)).astype(np.float32) * 0.1
+    zt = rng.standard_normal((16, 16, 4, 1)).astype(np.float32)
+    got = sr.upscale(lr, zt)
+    want = np.asarray(gan.generate(params_G, lr[None], zt[None]))[0]
+    assert got.shape == (16, 16, 4, 3)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_export_batch_polymorphic(tmp_path, rng):
+    """One artifact serves several batch sizes (symbolic batch dim)."""
+    gan, params_G = _make_gan()
+    path = str(tmp_path / "generator.wsrx")
+    export_generator(gan, params_G, path)
+    sr = load_exported(path)
+    for b in (1, 3):
+        lr = rng.standard_normal((b, 4, 4, 4, 4)).astype(np.float32) * 0.1
+        zt = rng.standard_normal((b, 16, 16, 4, 1)).astype(np.float32)
+        got = sr.upscale(lr, zt)
+        want = np.asarray(gan.generate(params_G, lr, zt))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_export_static_batch_rejects_mismatch(tmp_path, rng):
+    gan, params_G = _make_gan()
+    path = str(tmp_path / "generator_static.wsrx")
+    header = export_generator(gan, params_G, path, batch_polymorphic=False)
+    assert header["lr_shape"][0] == 1
+    sr = load_exported(path)
+    lr = rng.standard_normal((2, 4, 4, 4, 4)).astype(np.float32)
+    zt = rng.standard_normal((2, 16, 16, 4, 1)).astype(np.float32)
+    with pytest.raises(ValueError, match="static batch"):
+        sr.upscale(lr, zt)
+
+
+def test_export_bad_magic(tmp_path):
+    p = tmp_path / "junk.wsrx"
+    p.write_bytes(b"NOPE" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="not a WSRX artifact"):
+        load_exported(str(p))
