@@ -41,6 +41,7 @@ class WindFieldSR:
         self.params_G = params_G
         self.scale = gan.cfg.scale
         self.mesh = mesh
+        self.qhead = None  # set by quantize()
         self._vol_sharding = None
         if mesh is not None:
             from gan_sr_wind_field_tpu.parallel import volume_sharding
@@ -81,6 +82,68 @@ class WindFieldSR:
         state = ckpt.restore_checkpoint(checkpoint_path, example)
         return cls(gan, state.params_G)
 
+    def quantize(self, calib_lr, batch: int = 8):
+        """Calibrate + enable the int8 HR-head serving path (ops/quant.py).
+
+        calib_lr: (n, x, y, zl, C) representative LR fields (the hr_conv0
+        input depends only on LR, so no terrain is needed). Per-channel
+        abs-max calibration; subsequent `upscale`/`upscale_tiled` calls run
+        the quantized forward (int8 rounding at the bf16 noise floor:
+        67.7 dB PSNR vs the exact path). Measured on real TPU this is a
+        small-batch LATENCY lever only — batch 32: 1.06x, batch 128: 0.90x
+        (regression; see ops/quant.py) — so it is opt-in and the default
+        throughput path stays bf16. Call ``dequantize()`` to return to the
+        exact path.
+        """
+        import jax.numpy as jnp
+
+        from gan_sr_wind_field_tpu.models.fused_apply import (
+            head_features_fused,
+        )
+        from gan_sr_wind_field_tpu.ops.quant import (
+            head_input_amax,
+            quantize_split_head,
+            scales_from_amax,
+        )
+
+        if self._vol_sharding is not None:
+            raise ValueError(
+                "quantized serving is a single-device path; use tiling "
+                "instead of a spatial mesh"
+            )
+        G = self.gan._G_nograd
+        if not G.split_hr_concat:
+            raise ValueError("int8 serving head requires split_hr_concat")
+        probe = jax.jit(lambda p, lr: head_input_amax(
+            head_features_fused(G, p, lr,
+                                interpret=self.gan._pallas_interpret)
+        ))
+        calib_lr = np.asarray(calib_lr, np.float32)
+        if calib_lr.ndim == 4:
+            calib_lr = calib_lr[None]
+        amax = None
+        for i in range(0, calib_lr.shape[0], batch):
+            a = np.asarray(probe(self.params_G, calib_lr[i: i + batch]))
+            amax = a if amax is None else np.maximum(amax, a)
+        Wx = jnp.asarray(
+            self.params_G["hr_conv0_x"]["kernel"], jnp.float32
+        )
+        self.qhead = quantize_split_head(Wx, scales_from_amax(amax))
+        self._chunk_cache = {}  # tiled programs must re-close over qhead
+        return self.qhead
+
+    def dequantize(self):
+        """Back to the exact (bf16/f32) serving forward."""
+        self.qhead = None
+        self._chunk_cache = {}
+
+    def _gen(self, params_G, lr, z_terrain):
+        if self.qhead is not None:
+            return self.gan.generate_quantized(
+                params_G, self.qhead, lr, z_terrain
+            )
+        return self.gan.generate(params_G, lr, z_terrain)
+
     def upscale(self, lr, z_terrain):
         """lr: (x, y, zl, C) or batched; returns (X, Y, zl, 3) float32."""
         squeeze = lr.ndim == 4
@@ -91,7 +154,7 @@ class WindFieldSR:
             z_terrain = jax.device_put(
                 np.asarray(z_terrain), self._vol_sharding
             )
-        out = np.asarray(self.gan.generate(self.params_G, lr, z_terrain))
+        out = np.asarray(self._gen(self.params_G, lr, z_terrain))
         return out[0] if squeeze else out
 
     def upscale_tiled(self, lr, z_terrain, tile: int = 64,
@@ -173,7 +236,13 @@ class WindFieldSR:
 
         s = self.scale
         ts = tile * s
-        gen = self.gan._generate
+        if self.qhead is not None:
+            qh = self.qhead
+
+            def gen(p, lr, z):
+                return self.gan._generate_q(p, qh, lr, z)
+        else:
+            gen = self.gan._generate
 
         def chunk(params_G, lr_full, zt_full, out, weight, win, xs0, ys0,
                   mask):

@@ -41,22 +41,9 @@ def fused_supported(G, lr_shape) -> bool:
     )
 
 
-def generator_forward(G, params, lr, z_terrain, trunk_fn,
-                      train: bool = False, dropout_key=None,
-                      interpret: bool = False):
-    """Raw-JAX generator forward with a pluggable trunk.
-
-    trunk_fn(x) runs the RRDB trunk on the feature tensor; everything else
-    (head, long skip, upsampling, terrain branch, HR convs, channel
-    dropout) matches Generator3D.__call__ layer by layer.
-
-    hr_conv0 (the 144→144 k=5³ conv — the biggest op outside the trunk)
-    optionally runs as the channel-split Pallas head kernel
-    (ops/pallas/hr_head.py, ``G.pallas_head``): XLA's direct schedule is
-    capped at 56% MXU lane utilisation by the 144→256 lane padding, and a
-    v1 per-tap kernel lost to it (~170-matmul body, rejected); the
-    8-tap-group channel-split design packs lanes exactly.
-    """
+def _head_features(G, params, lr, z_terrain, trunk_fn):
+    """The generator up to (but not including) hr_conv0: returns the
+    HR-resolution feature tensor x and the terrain features t."""
     cdt = G.dtype or jnp.float32
 
     def conv(v, w, pad):
@@ -81,6 +68,36 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
     t = z_terrain.astype(cdt)
     t = lrelu(conv(t, params["terrain_conv0"]["Conv_0"]["kernel"], 1))
     t = conv(t, params["terrain_conv1"]["Conv_0"]["kernel"], 1)
+    return x, t, conv, lrelu
+
+
+def generator_forward(G, params, lr, z_terrain, trunk_fn,
+                      train: bool = False, dropout_key=None,
+                      interpret: bool = False, qhead=None):
+    """Raw-JAX generator forward with a pluggable trunk.
+
+    trunk_fn(x) runs the RRDB trunk on the feature tensor; everything else
+    (head, long skip, upsampling, terrain branch, HR convs, channel
+    dropout) matches Generator3D.__call__ layer by layer.
+
+    hr_conv0 (the 144→144 k=5³ conv — the biggest op outside the trunk)
+    optionally runs as the channel-split Pallas head kernel
+    (ops/pallas/hr_head.py, ``G.pallas_head``): XLA's direct schedule is
+    capped at 56% MXU lane utilisation by the 144→256 lane padding, and a
+    v1 per-tap kernel lost to it (~170-matmul body, rejected); the
+    8-tap-group channel-split design packs lanes exactly.
+
+    ``qhead``: optional calibrated int8 quantization of hr_conv0's x-part
+    (ops/quant.py, serving only — requires split_hr_concat and eval mode);
+    the terrain part stays exact.
+    """
+    cdt = G.dtype or jnp.float32
+    x, t, conv, lrelu = _head_features(G, params, lr, z_terrain, trunk_fn)
+    if qhead is not None and (train or not G.split_hr_concat):
+        raise ValueError(
+            "int8 head quantization is a serving-only option and needs "
+            "split_hr_concat (terrain part stays exact)"
+        )
 
     hp = (G.hr_kern_size - 1) // 2
     if G.split_hr_concat:
@@ -91,7 +108,7 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
         Wx, Wt = W[:, :, :, : x.shape[-1]], W[:, :, :, x.shape[-1]:]
 
     use_ph = False
-    if getattr(G, "pallas_head", False):
+    if getattr(G, "pallas_head", False) and qhead is None:
         from gan_sr_wind_field_tpu.ops.pallas.hr_head import (
             head_fusable,
             pick_chunk,
@@ -148,7 +165,10 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
             # the default 144→16 transposed conv costs 27.7 ms/G-step)
             from gan_sr_wind_field_tpu.ops.tap_conv import conv3d_tap_dx
 
-            if getattr(G, "split_hr_out", False):
+            if qhead is not None:
+                # serving: exact bf16 terrain conv, no VJP machinery needed
+                ct = conv(t, Wt, hp)
+            elif getattr(G, "split_hr_out", False):
                 # output-split forward + tap-stacked input grad combined
                 from gan_sr_wind_field_tpu.ops.tap_conv import (
                     conv3d_split_out,
@@ -159,7 +179,13 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
                 ct = conv3d_tap_dx(t, Wt.astype(cdt), hp)
         else:
             ct = conv(t, Wt, hp)
-        if getattr(G, "split_hr_out", False) and G.hr_kern_size > 1:
+        if qhead is not None:
+            # calibrated int8 main conv(s): ~1.9x the bf16 MXU rate on the
+            # dominant serving op (ops/quant.py; scripts/probe_int8_conv.py)
+            from gan_sr_wind_field_tpu.ops.quant import split_head_conv_int8
+
+            cx = split_head_conv_int8(x, qhead, hp, out_dtype=cdt)
+        elif getattr(G, "split_hr_out", False) and G.hr_kern_size > 1:
             # full-lane 128-out conv + tap-stacked 16-out remainder
             # (ops/tap_conv.py:conv3d_split_out) — same math, ~1.7× fewer
             # padded MACs than one 144-out conv
@@ -193,8 +219,7 @@ def generator_forward(G, params, lr, z_terrain, trunk_fn,
     return x.astype(jnp.float32)
 
 
-def generate_fused(G, params, lr, z_terrain, interpret: bool = False):
-    """Eval-mode generator forward; numerics match G.apply(train=False)."""
+def _fused_trunk_fn(G, params, interpret):
     cdt = G.dtype or jnp.float32
 
     def trunk_fn(x):
@@ -212,5 +237,28 @@ def generate_fused(G, params, lr, z_terrain, interpret: bool = False):
             interpret=interpret,
         )
 
-    return generator_forward(G, params, lr, z_terrain, trunk_fn,
-                             interpret=interpret)
+    return trunk_fn
+
+
+def generate_fused(G, params, lr, z_terrain, interpret: bool = False,
+                   qhead=None):
+    """Eval-mode generator forward; numerics match G.apply(train=False)
+    (exactly — or up to the calibrated int8 head rounding when ``qhead``
+    is given, see ops/quant.py)."""
+    return generator_forward(
+        G, params, lr, z_terrain, _fused_trunk_fn(G, params, interpret),
+        interpret=interpret, qhead=qhead,
+    )
+
+
+def head_features_fused(G, params, lr, interpret: bool = False):
+    """The hr_conv0 input feature tensor x for a batch (calibration probe
+    for the int8 serving head, ops/quant.py — x depends only on lr, not on
+    the terrain branch)."""
+    zl = lr.shape[3]
+    hr_xy = (lr.shape[1] * G.upscale, lr.shape[2] * G.upscale)
+    z_dummy = jnp.zeros(lr.shape[:1] + hr_xy + (zl, 1), jnp.float32)
+    x, _, _, _ = _head_features(
+        G, params, lr, z_dummy, _fused_trunk_fn(G, params, interpret)
+    )
+    return x

@@ -307,6 +307,9 @@ class WindFieldGAN:
         )
         self._jit_val_step = jax.jit(self._val_step, compiler_options=copts)
         self._jit_generate = jax.jit(self._generate, compiler_options=copts)
+        self._jit_generate_q = jax.jit(
+            self._generate_q, compiler_options=copts
+        )
 
     # ------------------------------------------------------------------ init
     def init_state(self, rng, lr_shape, hr_shape) -> GANTrainState:
@@ -403,6 +406,31 @@ class WindFieldGAN:
 
     def generate(self, params_G, lr, z):
         return self._jit_generate(params_G, lr, z)
+
+    def _generate_q(self, params_G, qhead, lr, z):
+        """Serving forward with the calibrated int8 HR head (ops/quant.py).
+
+        Fused-trunk, single-device path only — produced by
+        WindFieldSR.quantize; training/validation numerics are untouched.
+        """
+        from gan_sr_wind_field_tpu.models.fused_apply import (
+            fused_supported,
+            generate_fused,
+        )
+
+        if not (self.use_fused_trunk and fused_supported(self.G, lr.shape)
+                and not self._fused_shard_map):
+            raise ValueError(
+                "quantized serving needs the single-device fused-trunk "
+                "path (use_fused_trunk=True, no model/spatial mesh)"
+            )
+        return generate_fused(
+            self._G_nograd, params_G, lr, z,
+            interpret=self._pallas_interpret, qhead=qhead,
+        )
+
+    def generate_quantized(self, params_G, qhead, lr, z):
+        return self._jit_generate_q(params_G, qhead, lr, z)
 
     def _d_logits(self, params_D, batch_stats, xin, train_D, rng_key=None,
                   update_stats=False):
