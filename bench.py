@@ -261,15 +261,17 @@ def main(retry_reason=None):
     print(json.dumps(out))
 
 
-def main_infer(batches=(32, 64)):
+def main_infer(batches=(64, 128)):
     """Serving probe (`bench.py --infer`): no-grad generator throughput.
 
     The reference has no serving tier — its inference is single-sample
     ``gan.G(LR)`` calls inside test.py:106-121. Here inference is the jitted
     eval-mode forward (``WindFieldGAN.generate``: fused Pallas trunk +
     tap-stacked head), the same path `eval/serve.py` uses. Larger batches
-    are legal for serving (no activation-gradient memory), so both the
-    training batch and a bigger one are reported.
+    are legal for serving (no activation-gradient memory); the sweep over
+    {32,64,96,128,192,256} measured a clean knee at 128 (10.50 / 11.91 /
+    12.57 / 11.92 / 9.03 Mvox/s at 64/96/128/192/256), so the probe reports
+    the training batch-adjacent 64 and the serving optimum 128.
     """
     import jax
     import jax.numpy as jnp
