@@ -107,3 +107,29 @@ def test_tiled_device_pipeline_matches_host_loop(rng):
     sr_host = WindFieldSR(sr.gan, sr.params_G, mesh=make_mesh(1, 1))
     host = sr_host.upscale_tiled(lr, zt, tile=4, overlap=2, batch=4)
     np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
+
+
+def test_dp_mesh_batched_upscale_matches_single(rng):
+    """Batched serving over a dp-only 8-way mesh (fused trunk under
+    shard_map over 'data', volume_sharding batch placement) == the
+    single-device result — the multi-chip serving scale-out path."""
+    from gan_sr_wind_field_tpu.parallel import make_mesh
+    from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+    from test_train_step import tiny_cfg
+
+    cfg = tiny_cfg()
+    cfg.generator.dropout_probability = 0.0
+    x = np.arange(32, dtype=np.float32) * 150
+    gan = WindFieldGAN(cfg, x, x)
+    state = gan.init_state(
+        jax.random.key(0), (8, 4, 4, 4, 4), (8, 16, 16, 4, 3)
+    )
+    lr = rng.standard_normal((8, 4, 4, 4, 4)).astype(np.float32) * 0.1
+    zt = rng.standard_normal((8, 16, 16, 4, 1)).astype(np.float32)
+    direct = WindFieldSR(gan, state.params_G).upscale(lr, zt)
+
+    gan_dp = WindFieldGAN(cfg, x, x, mesh=make_mesh(8, 1))
+    sharded = WindFieldSR(gan_dp, state.params_G,
+                          mesh=gan_dp.mesh).upscale(lr, zt)
+    assert sharded.shape == direct.shape == (8, 16, 16, 4, 3)
+    np.testing.assert_allclose(sharded, direct, rtol=2e-4, atol=1e-5)
