@@ -1,0 +1,346 @@
+"""Production HTTP serving daemon around the inference tier.
+
+The reference has no serving layer at all — its inference is a
+single-sample torch loop (reference test.py:106-121). This module is the
+deployment daemon around `eval/serve.py` / `eval/export.py`: a
+stdlib-only (http.server + threading + queue) HTTP front end with
+**micro-batching**, because TPU serving throughput is strongly
+batch-dependent (measured knee at batch 128: 12.57 Mvox/s vs 10.36 at
+batch 32, docs/PERF.md) while clients naturally send batch-1 requests.
+
+Design:
+
+- ONE dispatcher thread owns all device work (single-consumer queue) —
+  concurrent HTTP handler threads never touch jax, which also keeps the
+  axon tunnel to one in-flight program at a time.
+- Same-shape requests arriving within ``max_wait_ms`` of each other are
+  stacked into one generator call, padded up to the next power of two
+  (by repeating the final sample) so the number of compiled program
+  variants stays at log2(max_batch) per input geometry instead of one
+  per observed batch size — remote TPU compiles cost minutes each.
+- The backend is anything with ``.upscale(lr, z)`` batched semantics:
+  a live `WindFieldSR` (optionally int8-quantized via ``.quantize()``)
+  or a self-contained `ExportedSR` artifact (zero model code/config).
+
+Protocol (binary, numpy ``.npz`` both directions):
+
+    POST /v1/upscale   body: npz with ``lr`` (x,y,zl,C) or (n,x,y,zl,C)
+                       and ``z`` (X,Y,zl,1) or (n,X,Y,zl,1)
+                       -> 200, npz with ``sr`` float32
+    GET  /v1/health    -> 200 JSON {status, scale, backend}
+    GET  /v1/stats     -> 200 JSON micro-batcher counters
+
+CLI (export-artifact serving needs nothing but jax):
+
+    python -m gan_sr_wind_field_tpu.eval.server --artifact gen.wsrx \
+        --port 8000 [--max-batch 128] [--max-wait-ms 5]
+
+Checkpoint-backed serving goes through ``run.py --serve PORT`` (reuses
+the CLI's config/data/checkpoint bootstrap).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+_MAX_BODY = 1 << 30  # 1 GiB request cap
+
+
+class _Job:
+    __slots__ = ("lr", "z", "event", "result", "error")
+
+    def __init__(self, lr: np.ndarray, z: np.ndarray):
+        self.lr = lr
+        self.z = z
+        self.event = threading.Event()
+        self.result: Optional[np.ndarray] = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Single-consumer request batcher in front of a ``.upscale`` backend.
+
+    Submissions are (lr, z) single samples; the dispatcher thread stacks
+    same-shape jobs (up to ``max_batch``, waiting at most ``max_wait_ms``
+    after the first) into one batched ``backend.upscale`` call. With
+    ``pad_pow2`` the stacked batch is padded to the next power of two by
+    repeating the last sample, bounding the set of traced batch sizes.
+    """
+
+    def __init__(self, backend, max_batch: int = 128,
+                 max_wait_ms: float = 5.0, pad_pow2: bool = True):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self.backend = backend
+        self.max_batch = int(max_batch)
+        self.max_wait = float(max_wait_ms) / 1e3
+        self.pad_pow2 = bool(pad_pow2)
+        self._q: "queue.SimpleQueue[_Job]" = queue.SimpleQueue()
+        self._stop = threading.Event()
+        self.stats = {
+            "requests": 0, "batches": 0, "batched_samples": 0,
+            "padded_samples": 0, "max_batch_seen": 0, "errors": 0,
+        }
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(
+            target=self._run, name="windsr-dispatch", daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------ client API
+    def submit(self, lr: np.ndarray, z: np.ndarray,
+               timeout: float = 600.0) -> np.ndarray:
+        """Blocking single-sample inference; raises the backend's error."""
+        if lr.ndim != 4 or z.ndim != 4:
+            raise ValueError(
+                f"submit takes single samples: lr (x,y,zl,C) / z (X,Y,zl,1), "
+                f"got lr.ndim={lr.ndim} z.ndim={z.ndim}"
+            )
+        return self.submit_many([lr], [z], timeout=timeout)[0]
+
+    def submit_many(self, lrs, zs, timeout: float = 600.0) -> list:
+        """Enqueue several samples at once (they micro-batch together and
+        with anything else in flight), wait for all, return results."""
+        jobs = [
+            _Job(np.asarray(lr, np.float32), np.asarray(z, np.float32))
+            for lr, z in zip(lrs, zs)
+        ]
+        with self._lock:
+            self.stats["requests"] += len(jobs)
+        for job in jobs:
+            self._q.put(job)
+        deadline = time.monotonic() + timeout
+        for job in jobs:
+            if not job.event.wait(max(0.0, deadline - time.monotonic())):
+                raise TimeoutError("inference did not complete in time")
+        for job in jobs:
+            if job.error is not None:
+                raise job.error
+        return [job.result for job in jobs]
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    # ------------------------------------------------------------ dispatcher
+    def _collect(self, first: _Job) -> list:
+        """first + whatever same-shape jobs arrive within the batch window.
+
+        Jobs with a different geometry end the window (and lead the next
+        batch) — requests of one shape never wait behind another shape's
+        compile."""
+        jobs = [first]
+        key = (first.lr.shape, first.z.shape)
+        deadline = time.monotonic() + self.max_wait
+        while len(jobs) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if (nxt.lr.shape, nxt.z.shape) != key:
+                self._pending = nxt
+                break
+            jobs.append(nxt)
+        return jobs
+
+    def _run(self) -> None:
+        self._pending: Optional[_Job] = None
+        while not self._stop.is_set():
+            job = self._pending
+            self._pending = None
+            if job is None:
+                try:
+                    job = self._q.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+            self._process(self._collect(job))
+
+    def _process(self, jobs: list) -> None:
+        n = len(jobs)
+        pad_to = n
+        if self.pad_pow2 and n > 1:
+            pad_to = 1 << (n - 1).bit_length()
+        pad_to = min(pad_to, self.max_batch)
+        try:
+            lr = np.stack([j.lr for j in jobs]
+                          + [jobs[-1].lr] * (pad_to - n))
+            z = np.stack([j.z for j in jobs]
+                         + [jobs[-1].z] * (pad_to - n))
+            out = np.asarray(self.backend.upscale(lr, z))
+            for i, j in enumerate(jobs):
+                j.result = out[i]
+        except BaseException as e:  # propagate to every waiter
+            for j in jobs:
+                j.error = e
+            with self._lock:
+                self.stats["errors"] += 1
+        finally:
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["batched_samples"] += n
+                self.stats["padded_samples"] += pad_to - n
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], n
+                )
+            for j in jobs:
+                j.event.set()
+
+
+# ---------------------------------------------------------------- HTTP tier
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # route through the server's logger
+        log = getattr(self.server, "log", None)
+        if log is not None:
+            log.info("%s %s" % (self.address_string(), fmt % args))
+
+    def _json(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        srv = self.server
+        if self.path == "/v1/health":
+            self._json(200, {
+                "status": "ok",
+                "scale": srv.meta.get("scale"),
+                "backend": srv.meta.get("backend"),
+            })
+        elif self.path == "/v1/stats":
+            with srv.batcher._lock:
+                self._json(200, dict(srv.batcher.stats))
+        else:
+            self._json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/v1/upscale":
+            self._json(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            if not 0 < length <= _MAX_BODY:
+                raise ValueError(f"bad Content-Length {length}")
+            with np.load(io.BytesIO(self.rfile.read(length)),
+                         allow_pickle=False) as npz:
+                lr = np.asarray(npz["lr"], np.float32)
+                z = np.asarray(npz["z"], np.float32)
+            squeeze = lr.ndim == 4
+            if squeeze:
+                lr, z = lr[None], z[None]
+            if lr.ndim != 5 or z.ndim != 5 or lr.shape[0] != z.shape[0]:
+                raise ValueError(
+                    f"lr/z must be (x,y,zl,C)/(X,Y,zl,1) or batched; got "
+                    f"{lr.shape} / {z.shape}"
+                )
+        except Exception as e:
+            self._json(400, {"error": str(e)})
+            return
+        try:
+            # batched client requests split into jobs so they micro-batch
+            # with everything else in flight (same shape key -> same call)
+            outs = self.server.batcher.submit_many(list(lr), list(z))
+            sr = np.stack(outs)
+        except Exception as e:
+            self._json(500, {"error": str(e)})
+            return
+        buf = io.BytesIO()
+        np.savez(buf, sr=sr[0] if squeeze else sr)
+        body = buf.getvalue()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+class WindFieldServer(ThreadingHTTPServer):
+    """HTTP server owning a MicroBatcher; see module docstring."""
+
+    daemon_threads = True
+
+    def __init__(self, addr, backend, max_batch=128, max_wait_ms=5.0,
+                 pad_pow2=True, log=None):
+        super().__init__(addr, _Handler)
+        self.batcher = MicroBatcher(
+            backend, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            pad_pow2=pad_pow2,
+        )
+        self.log = log
+        self.meta = {
+            "scale": getattr(backend, "scale", None),
+            "backend": type(backend).__name__,
+        }
+
+    def close(self) -> None:
+        self.shutdown()
+        self.server_close()
+        self.batcher.close()
+
+
+def serve(backend, host: str = "127.0.0.1", port: int = 0,
+          max_batch: int = 128, max_wait_ms: float = 5.0,
+          pad_pow2: bool = True, log=None,
+          block: bool = False) -> WindFieldServer:
+    """Start serving ``backend`` (WindFieldSR or ExportedSR).
+
+    ``block=False`` runs the accept loop in a daemon thread and returns
+    the server (``.server_address`` carries the bound port; ``.close()``
+    stops it); ``block=True`` serves until interrupted.
+    """
+    srv = WindFieldServer(
+        (host, port), backend, max_batch=max_batch,
+        max_wait_ms=max_wait_ms, pad_pow2=pad_pow2, log=log,
+    )
+    if block:
+        try:
+            srv.serve_forever()
+        finally:
+            srv.close()
+        return srv
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Serve an exported generator artifact over HTTP"
+    )
+    p.add_argument("--artifact", required=True,
+                   help="path to a .wsrx file from run.py --export")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max-batch", type=int, default=128)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    from gan_sr_wind_field_tpu.eval.export import load_exported
+
+    backend = load_exported(args.artifact)
+    print(f"serving {args.artifact} (scale {backend.scale}) on "
+          f"{args.host}:{args.port}")
+    serve(backend, host=args.host, port=args.port,
+          max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+          block=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

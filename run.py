@@ -30,6 +30,12 @@ def argv_to_cfg(argv=None):
                         "self-contained jax.export artifact at PATH and "
                         "exit; loads weights like --use "
                         "(eval/export.py — no reference equivalent)")
+    p.add_argument("--serve", metavar="PORT", type=int, default=None,
+                   help="serve the generator over HTTP on PORT "
+                        "(micro-batched inference daemon, eval/server.py); "
+                        "loads weights like --use. For config-free serving "
+                        "of an exported artifact use "
+                        "python -m gan_sr_wind_field_tpu.eval.server")
     p.add_argument("--download", action="store_true")
     p.add_argument("--param_search", action="store_true")
     p.add_argument("--synthetic", action="store_true",
@@ -213,7 +219,7 @@ def main(argv=None):
         run_test(cfg, ds_test, x, y)
         return
 
-    if cfg.is_use or args.export:
+    if cfg.is_use or args.export or args.serve is not None:
         from gan_sr_wind_field_tpu.train import checkpoint as ckpt
         from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
 
@@ -253,6 +259,17 @@ def main(argv=None):
             from gan_sr_wind_field_tpu.eval.test_loop import run_use
 
             run_use(cfg, ds_test, x, y, state=state)
+        if args.serve is not None:
+            from gan_sr_wind_field_tpu.eval.serve import WindFieldSR
+            from gan_sr_wind_field_tpu.eval.server import serve
+
+            sr = WindFieldSR(gan, state.params_G)
+            status.info(
+                f"serving on 0.0.0.0:{args.serve} "
+                f"(POST /v1/upscale, GET /v1/health)"
+            )
+            serve(sr, host="0.0.0.0", port=args.serve, log=status,
+                  block=True)
         return
 
     print("nothing to do: pass --train, --test, --use, --download, "

@@ -1,0 +1,193 @@
+"""HTTP serving daemon tests (eval/server.py).
+
+Micro-batching semantics are tested against a fake backend (exact,
+deterministic); the HTTP protocol round-trips against a real tiny
+WindFieldSR on the CPU backend.
+"""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gan_sr_wind_field_tpu.eval.server import MicroBatcher, serve
+
+
+class _FakeBackend:
+    """upscale = lr * 2; records the batch sizes it was called with."""
+
+    scale = 4
+
+    def __init__(self, fail=False):
+        self.calls = []
+        self.fail = fail
+
+    def upscale(self, lr, z):
+        assert lr.ndim == 5 and z.ndim == 5 and lr.shape[0] == z.shape[0]
+        self.calls.append(lr.shape[0])
+        if self.fail:
+            raise RuntimeError("backend exploded")
+        return lr * 2.0
+
+
+def _sample(rng, xy=4):
+    lr = rng.standard_normal((xy, xy, 4, 4)).astype(np.float32)
+    z = rng.standard_normal((xy * 4, xy * 4, 4, 1)).astype(np.float32)
+    return lr, z
+
+
+def test_submit_many_batches_and_pads_pow2(rng):
+    be = _FakeBackend()
+    b = MicroBatcher(be, max_batch=8, max_wait_ms=250.0)
+    try:
+        lrs, zs = zip(*[_sample(rng) for _ in range(3)])
+        outs = b.submit_many(list(lrs), list(zs))
+        for lr, out in zip(lrs, outs):
+            np.testing.assert_array_equal(out, lr * 2.0)
+        # all three enqueued before the window closed -> ONE padded call
+        assert be.calls == [4]
+        assert b.stats["requests"] == 3
+        assert b.stats["batches"] == 1
+        assert b.stats["batched_samples"] == 3
+        assert b.stats["padded_samples"] == 1
+        assert b.stats["max_batch_seen"] == 3
+    finally:
+        b.close()
+
+
+def test_single_submit_no_padding(rng):
+    be = _FakeBackend()
+    b = MicroBatcher(be, max_batch=8, max_wait_ms=1.0)
+    try:
+        lr, z = _sample(rng)
+        out = b.submit(lr, z)
+        np.testing.assert_array_equal(out, lr * 2.0)
+        assert be.calls == [1]  # batch-1 is never padded
+        assert b.stats["padded_samples"] == 0
+    finally:
+        b.close()
+
+
+def test_mixed_shapes_split_into_separate_calls(rng):
+    be = _FakeBackend()
+    b = MicroBatcher(be, max_batch=8, max_wait_ms=250.0)
+    try:
+        a_lr, a_z = _sample(rng, xy=4)
+        c_lr, c_z = _sample(rng, xy=6)
+        results = {}
+
+        def go(name, lr, z):
+            results[name] = b.submit(lr, z)
+
+        ts = [threading.Thread(target=go, args=("a", a_lr, a_z)),
+              threading.Thread(target=go, args=("c", c_lr, c_z))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        np.testing.assert_array_equal(results["a"], a_lr * 2.0)
+        np.testing.assert_array_equal(results["c"], c_lr * 2.0)
+        assert sorted(be.calls) == [1, 1]  # never stacked across shapes
+    finally:
+        b.close()
+
+
+def test_backend_error_propagates_to_all_waiters(rng):
+    b = MicroBatcher(_FakeBackend(fail=True), max_batch=4,
+                     max_wait_ms=100.0)
+    try:
+        lrs, zs = zip(*[_sample(rng) for _ in range(2)])
+        with pytest.raises(RuntimeError, match="backend exploded"):
+            b.submit_many(list(lrs), list(zs))
+        assert b.stats["errors"] == 1
+    finally:
+        b.close()
+
+
+def test_max_batch_respected(rng):
+    be = _FakeBackend()
+    b = MicroBatcher(be, max_batch=2, max_wait_ms=250.0, pad_pow2=True)
+    try:
+        lrs, zs = zip(*[_sample(rng) for _ in range(5)])
+        b.submit_many(list(lrs), list(zs))
+        assert max(be.calls) <= 2 and sum(be.calls) == 5
+    finally:
+        b.close()
+
+
+# ------------------------------------------------------------- HTTP tier
+def _post(url, timeout=120.0, **arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    req = urllib.request.Request(
+        url, data=buf.getvalue(), method="POST",
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return np.load(io.BytesIO(r.read()))
+
+
+def _get_json(url):
+    with urllib.request.urlopen(url, timeout=30.0) as r:
+        return json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    from test_serve import _make_sr
+
+    sr, _ = _make_sr()
+    srv = serve(sr, host="127.0.0.1", port=0, max_batch=4,
+                max_wait_ms=20.0)
+    host, port = srv.server_address
+    yield f"http://{host}:{port}", sr
+    srv.close()
+
+
+def test_http_single_roundtrip(http_server, rng):
+    url, sr = http_server
+    lr, z = _sample(rng)
+    out = _post(f"{url}/v1/upscale", lr=lr, z=z)["sr"]
+    assert out.shape == (16, 16, 4, 3)
+    np.testing.assert_allclose(out, sr.upscale(lr, z), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_http_batched_request(http_server, rng):
+    url, sr = http_server
+    lr = rng.standard_normal((3, 4, 4, 4, 4)).astype(np.float32)
+    z = rng.standard_normal((3, 16, 16, 4, 1)).astype(np.float32)
+    out = _post(f"{url}/v1/upscale", lr=lr, z=z)["sr"]
+    assert out.shape == (3, 16, 16, 4, 3)
+    for i in range(3):
+        np.testing.assert_allclose(out[i], sr.upscale(lr[i], z[i]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_http_health_and_stats(http_server):
+    url, _ = http_server
+    h = _get_json(f"{url}/v1/health")
+    assert h["status"] == "ok" and h["scale"] == 4
+    s = _get_json(f"{url}/v1/stats")
+    assert s["requests"] >= 1 and s["batches"] >= 1
+
+
+def test_http_bad_payload_is_400(http_server):
+    url, _ = http_server
+    req = urllib.request.Request(
+        f"{url}/v1/upscale", data=b"not an npz", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30.0)
+    assert ei.value.code == 400
+
+
+def test_http_unknown_path_is_404(http_server):
+    url, _ = http_server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(f"{url}/nope", timeout=30.0)
+    assert ei.value.code == 404
