@@ -191,3 +191,31 @@ def test_http_unknown_path_is_404(http_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(f"{url}/nope", timeout=30.0)
     assert ei.value.code == 404
+
+
+def test_http_serves_exported_artifact(tmp_path, rng):
+    """The config-free CLI path: daemon over a .wsrx export artifact."""
+    from test_export import _make_gan
+
+    from gan_sr_wind_field_tpu.eval.export import (
+        export_generator,
+        load_exported,
+    )
+
+    gan, params_G = _make_gan()
+    path = str(tmp_path / "gen.wsrx")
+    export_generator(gan, params_G, path)
+    backend = load_exported(path)
+
+    srv = serve(backend, host="127.0.0.1", port=0, max_batch=4,
+                max_wait_ms=10.0)
+    try:
+        host, port = srv.server_address
+        lr, z = _sample(rng)
+        out = _post(f"http://{host}:{port}/v1/upscale", lr=lr, z=z)["sr"]
+        np.testing.assert_allclose(out, backend.upscale(lr, z),
+                                   rtol=1e-5, atol=1e-6)
+        h = _get_json(f"http://{host}:{port}/v1/health")
+        assert h["backend"] == "ExportedSR"
+    finally:
+        srv.close()
