@@ -128,6 +128,59 @@ def test_train_cli_smoke(tmp_path):
     assert out.shape == (b, X * s, Y * s, zl, 3)
     assert np.all(np.isfinite(out))
 
+    # ---- chain: HTTP daemon through the --serve CLI (eval/server.py)
+    import io
+    import json
+    import socket
+    import time
+    import urllib.error
+    import urllib.request
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    daemon = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "run.py"), "--serve",
+         str(port), "--synthetic", "--cfg", str(cfg_test_path)],
+        cwd=str(tmp_path), env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        health = None
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if daemon.poll() is not None:
+                raise AssertionError(
+                    f"--serve exited early:\n{daemon.stdout.read()[-3000:]}"
+                )
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/v1/health", timeout=5
+                ) as r:
+                    health = json.loads(r.read())
+                break
+            except (urllib.error.URLError, ConnectionError, OSError):
+                time.sleep(1.0)
+        assert health is not None and health["status"] == "ok", health
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            lr=rng.standard_normal((X, Y, zl, cin)).astype(np.float32) * 0.1,
+            z=rng.standard_normal((X * s, Y * s, zl, 1)).astype(np.float32),
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/upscale", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            served = np.load(io.BytesIO(r.read()))["sr"]
+        assert served.shape == (X * s, Y * s, zl, 3)
+        assert np.all(np.isfinite(served))
+    finally:
+        daemon.terminate()
+        daemon.wait(timeout=60)
+
 
 def test_download_cli_dispatch(tmp_path, monkeypatch):
     """run.py --download end-to-end in-process over a pre-seeded raw .nc
