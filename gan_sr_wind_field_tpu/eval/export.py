@@ -90,13 +90,20 @@ def export_generator(
         exported = jexport.export(jax.jit(fn), platforms=used_platforms)(
             lr_aval, z_aval
         )
-    except Exception:
+    except Exception as first_err:
         # cross-platform lowering unavailable (e.g. experimental PJRT
-        # backends): fall back to the current platform only
-        used_platforms = (jax.default_backend(),)
-        exported = jexport.export(jax.jit(fn), platforms=used_platforms)(
-            lr_aval, z_aval
-        )
+        # backends): fall back to the current platform only.  The axon
+        # tunnel backend IS a TPU (same convention as train/gan.py).
+        backend = jax.default_backend()
+        used_platforms = ("tpu",) if backend == "axon" else (backend,)
+        try:
+            exported = jexport.export(
+                jax.jit(fn), platforms=used_platforms
+            )(lr_aval, z_aval)
+        except Exception:
+            # the fallback failing too usually means the FIRST error was
+            # a genuine export bug, not a platform issue — surface it
+            raise first_err
 
     header = {
         "format_version": _FORMAT_VERSION,

@@ -111,19 +111,36 @@ class WindFieldSR:
                 "quantized serving is a single-device path; use tiling "
                 "instead of a spatial mesh"
             )
+        from gan_sr_wind_field_tpu.models.fused_apply import fused_supported
+
         G = self.gan._G_nograd
         if not G.split_hr_concat:
             raise ValueError("int8 serving head requires split_hr_concat")
+        calib_lr = np.asarray(calib_lr, np.float32)
+        if calib_lr.ndim == 4:
+            calib_lr = calib_lr[None]
+        # same precondition _generate_q enforces at serving time — check it
+        # BEFORE calibrating through the fused trunk (which is only valid
+        # under exactly these conditions)
+        if not (self.gan.use_fused_trunk
+                and fused_supported(self.gan.G, calib_lr.shape)
+                and not self.gan._fused_shard_map):
+            raise ValueError(
+                "quantized serving needs the single-device fused-trunk "
+                "path (use_fused_trunk=True, fused-supported geometry, "
+                "no model/spatial mesh)"
+            )
         probe = jax.jit(lambda p, lr: head_input_amax(
             head_features_fused(G, p, lr,
                                 interpret=self.gan._pallas_interpret)
         ))
-        calib_lr = np.asarray(calib_lr, np.float32)
-        if calib_lr.ndim == 4:
-            calib_lr = calib_lr[None]
         amax = None
         for i in range(0, calib_lr.shape[0], batch):
-            a = np.asarray(probe(self.params_G, calib_lr[i: i + batch]))
+            chunk = calib_lr[i: i + batch]
+            if chunk.shape[0] < batch:  # pad -> one compiled probe shape
+                pad = batch - chunk.shape[0]  # (amax ignores duplicates)
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            a = np.asarray(probe(self.params_G, chunk))
             amax = a if amax is None else np.maximum(amax, a)
         Wx = jnp.asarray(
             self.params_G["hr_conv0_x"]["kernel"], jnp.float32

@@ -129,6 +129,21 @@ class MicroBatcher:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # fail anything still queued/parked so concurrent submitters get an
+        # immediate error instead of blocking out their full timeout
+        leftovers = []
+        pending = getattr(self, "_pending", None)
+        if pending is not None:
+            leftovers.append(pending)
+            self._pending = None
+        while True:
+            try:
+                leftovers.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        for job in leftovers:
+            job.error = RuntimeError("server shutting down")
+            job.event.set()
 
     # ------------------------------------------------------------ dispatcher
     def _collect(self, first: _Job) -> list:
@@ -211,6 +226,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:  # advertise it, don't just FIN
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -223,21 +240,30 @@ class _Handler(BaseHTTPRequestHandler):
                 "backend": srv.meta.get("backend"),
             })
         elif self.path == "/v1/stats":
+            # snapshot under the lock, write OUTSIDE it: a slow client must
+            # never block the dispatcher (which takes this lock per batch)
             with srv.batcher._lock:
-                self._json(200, dict(srv.batcher.stats))
+                stats = dict(srv.batcher.stats)
+            self._json(200, stats)
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
+        # until the body has been fully read, error responses must close
+        # the connection — an unread body would desync HTTP/1.1 keep-alive
+        # (the next "request line" would be body bytes)
         if self.path != "/v1/upscale":
+            self.close_connection = True
             self._json(404, {"error": f"unknown path {self.path}"})
             return
+        body_read = False
         try:
             length = int(self.headers.get("Content-Length", "0"))
             if not 0 < length <= _MAX_BODY:
                 raise ValueError(f"bad Content-Length {length}")
-            with np.load(io.BytesIO(self.rfile.read(length)),
-                         allow_pickle=False) as npz:
+            body = self.rfile.read(length)
+            body_read = True
+            with np.load(io.BytesIO(body), allow_pickle=False) as npz:
                 lr = np.asarray(npz["lr"], np.float32)
                 z = np.asarray(npz["z"], np.float32)
             squeeze = lr.ndim == 4
@@ -249,6 +275,8 @@ class _Handler(BaseHTTPRequestHandler):
                     f"{lr.shape} / {z.shape}"
                 )
         except Exception as e:
+            if not body_read:
+                self.close_connection = True
             self._json(400, {"error": str(e)})
             return
         try:

@@ -163,12 +163,12 @@ def split_head_conv_int8(x, qh: QuantizedHead, padding: int,
     return jnp.concatenate([main, rem.astype(out_dtype)], axis=-1)
 
 
-def head_input_amax(x, running=None):
-    """Per-channel abs-max over a calibration batch (host-side reducer)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=tuple(range(x.ndim - 1)))
-    if running is not None:
-        amax = jnp.maximum(amax, running)
-    return amax
+def head_input_amax(x):
+    """Per-channel abs-max over one calibration batch; the caller folds
+    batches together host-side (np.maximum over chunks)."""
+    return jnp.max(
+        jnp.abs(x.astype(jnp.float32)), axis=tuple(range(x.ndim - 1))
+    )
 
 
 def scales_from_amax(amax):

@@ -246,6 +246,11 @@ def main(argv=None):
             state = ckpt.restore_checkpoint(path, example)
         else:
             state = example
+            if args.export or args.serve is not None:
+                status.warning(
+                    "no generator_load_path set — exporting/serving "
+                    "freshly-initialized RANDOM weights"
+                )
         if args.export:
             from gan_sr_wind_field_tpu.eval.export import export_generator
 

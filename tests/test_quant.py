@@ -176,6 +176,26 @@ def test_serve_quantized_tiled(rng):
     assert rel < 0.02, rel
 
 
+def test_quantize_rejects_non_fused_trunk(rng):
+    """quantize() must check the fused-trunk precondition UP FRONT (the
+    calibration probe itself runs through the fused trunk) instead of
+    calibrating happily and failing on the next upscale()."""
+    from gan_sr_wind_field_tpu.eval.serve import WindFieldSR
+    from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+
+    cfg = _tiny_cfg()
+    cfg.use_fused_trunk = False
+    x = np.arange(16, dtype=np.float32) * 150.0
+    gan = WindFieldGAN(cfg, x, x)
+    state = gan.init_state(
+        jax.random.key(0), (1, 4, 4, 4, 4), (1, 16, 16, 4, 3)
+    )
+    sr = WindFieldSR(gan, state.params_G)
+    lr = rng.standard_normal((2, 4, 4, 4, 4)).astype(np.float32)
+    with pytest.raises(ValueError, match="fused-trunk"):
+        sr.quantize(lr)
+
+
 def test_quantize_rejects_train_mode(rng):
     from gan_sr_wind_field_tpu.models.fused_apply import generator_forward
 

@@ -108,6 +108,52 @@ def test_backend_error_propagates_to_all_waiters(rng):
         b.close()
 
 
+def test_close_fails_queued_jobs_promptly(rng):
+    """close() must error out queued jobs, not leave them blocking until
+    their submit timeout."""
+
+    class _SlowBackend(_FakeBackend):
+        def __init__(self):
+            super().__init__()
+            self.started = threading.Event()
+            self.release = threading.Event()
+
+        def upscale(self, lr, z):
+            self.started.set()
+            assert self.release.wait(10.0)
+            return super().upscale(lr, z)
+
+    be = _SlowBackend()
+    b = MicroBatcher(be, max_batch=1, max_wait_ms=1.0)
+    lr, z = _sample(rng)
+    res = {}
+
+    def go(name):
+        try:
+            res[name] = b.submit(lr, z, timeout=30.0)
+        except BaseException as e:
+            res[name] = e
+
+    t1 = threading.Thread(target=go, args=("a",))
+    t1.start()
+    assert be.started.wait(5.0)  # dispatcher is inside the backend
+    t2 = threading.Thread(target=go, args=("b",))
+    t2.start()
+    import time as _time
+
+    _time.sleep(0.2)  # let job b reach the queue behind the stuck batch
+    closer = threading.Thread(target=b.close)
+    closer.start()  # sets _stop, then blocks joining the dispatcher
+    _time.sleep(0.1)
+    be.release.set()  # in-flight batch completes; dispatcher exits
+    closer.join(10.0)
+    t1.join(10.0)
+    t2.join(10.0)
+    np.testing.assert_array_equal(res["a"], lr * 2.0)
+    assert isinstance(res["b"], RuntimeError)
+    assert "shutting down" in str(res["b"])
+
+
 def test_max_batch_respected(rng):
     be = _FakeBackend()
     b = MicroBatcher(be, max_batch=2, max_wait_ms=250.0, pad_pow2=True)
@@ -184,6 +230,36 @@ def test_http_bad_payload_is_400(http_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req, timeout=30.0)
     assert ei.value.code == 400
+
+
+def test_http_oversize_content_length_closes_connection(http_server):
+    """A 400 sent before the body was read must close the connection —
+    keeping it open would desync HTTP/1.1 keep-alive (the unread body
+    bytes would be parsed as the next request line)."""
+    import socket
+
+    url, _ = http_server
+    host, port = url[len("http://"):].split(":")
+    with socket.create_connection((host, int(port)), timeout=30.0) as s:
+        s.sendall(
+            b"POST /v1/upscale HTTP/1.1\r\n"
+            b"Host: x\r\nContent-Length: 2147483648\r\n\r\n"
+        )
+        s.settimeout(30.0)
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+        head = data.split(b"\r\n\r\n", 1)[0].lower()
+        assert b" 400 " in data.split(b"\r\n", 1)[0]
+        assert b"connection: close" in head
+        # server must actually close: drain to EOF instead of hanging
+        while True:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
 
 
 def test_http_unknown_path_is_404(http_server):
