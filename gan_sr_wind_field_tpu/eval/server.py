@@ -28,7 +28,9 @@ Protocol (binary, numpy ``.npz`` both directions):
                        and ``z`` (X,Y,zl,1) or (n,X,Y,zl,1)
                        -> 200, npz with ``sr`` float32
     GET  /v1/health    -> 200 JSON {status, scale, backend}
-    GET  /v1/stats     -> 200 JSON micro-batcher counters
+    GET  /v1/stats     -> 200 JSON micro-batcher counters + request/batch
+                          latency percentiles (p50/p95/p99 ms, recent
+                          window)
 
 CLI (export-artifact serving needs nothing but jax):
 
@@ -41,6 +43,7 @@ the CLI's config/data/checkpoint bootstrap).
 
 from __future__ import annotations
 
+import collections
 import io
 import json
 import queue
@@ -55,7 +58,7 @@ _MAX_BODY = 1 << 30  # 1 GiB request cap
 
 
 class _Job:
-    __slots__ = ("lr", "z", "event", "result", "error")
+    __slots__ = ("lr", "z", "event", "result", "error", "t0")
 
     def __init__(self, lr: np.ndarray, z: np.ndarray):
         self.lr = lr
@@ -63,6 +66,7 @@ class _Job:
         self.event = threading.Event()
         self.result: Optional[np.ndarray] = None
         self.error: Optional[BaseException] = None
+        self.t0 = time.monotonic()  # enqueue time, for latency stats
 
 
 class MicroBatcher:
@@ -89,6 +93,9 @@ class MicroBatcher:
             "requests": 0, "batches": 0, "batched_samples": 0,
             "padded_samples": 0, "max_batch_seen": 0, "errors": 0,
         }
+        # bounded recent-window timings for the /v1/stats percentiles
+        self._req_lat_s = collections.deque(maxlen=2048)  # enqueue -> done
+        self._batch_s = collections.deque(maxlen=512)     # backend call
         self._lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._run, name="windsr-dispatch", daemon=True
@@ -187,6 +194,7 @@ class MicroBatcher:
         if self.pad_pow2 and n > 1:
             pad_to = 1 << (n - 1).bit_length()
         pad_to = min(pad_to, self.max_batch)
+        t_call = time.monotonic()
         try:
             lr = np.stack([j.lr for j in jobs]
                           + [jobs[-1].lr] * (pad_to - n))
@@ -201,6 +209,7 @@ class MicroBatcher:
             with self._lock:
                 self.stats["errors"] += 1
         finally:
+            done = time.monotonic()
             with self._lock:
                 self.stats["batches"] += 1
                 self.stats["batched_samples"] += n
@@ -208,8 +217,36 @@ class MicroBatcher:
                 self.stats["max_batch_seen"] = max(
                     self.stats["max_batch_seen"], n
                 )
+                self._batch_s.append(done - t_call)
+                for j in jobs:
+                    self._req_lat_s.append(done - j.t0)
             for j in jobs:
                 j.event.set()
+
+    # ------------------------------------------------------------- stats
+    def stats_snapshot(self) -> dict:
+        """Counters + recent-window latency percentiles (ms). Cheap under
+        the lock (copies only); percentile math happens outside it."""
+        with self._lock:
+            snap = dict(self.stats)
+            lat = list(self._req_lat_s)
+            bat = list(self._batch_s)
+
+        def pct(xs):
+            if not xs:
+                return {"count": 0}
+            q = np.percentile(np.asarray(xs) * 1e3, [50, 95, 99])
+            return {
+                "count": len(xs),
+                "p50_ms": round(float(q[0]), 3),
+                "p95_ms": round(float(q[1]), 3),
+                "p99_ms": round(float(q[2]), 3),
+                "mean_ms": round(float(np.mean(xs)) * 1e3, 3),
+            }
+
+        snap["request_latency"] = pct(lat)
+        snap["batch_duration"] = pct(bat)
+        return snap
 
 
 # ---------------------------------------------------------------- HTTP tier
@@ -242,9 +279,7 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/v1/stats":
             # snapshot under the lock, write OUTSIDE it: a slow client must
             # never block the dispatcher (which takes this lock per batch)
-            with srv.batcher._lock:
-                stats = dict(srv.batcher.stats)
-            self._json(200, stats)
+            self._json(200, srv.batcher.stats_snapshot())
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 

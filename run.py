@@ -36,6 +36,11 @@ def argv_to_cfg(argv=None):
                         "loads weights like --use. For config-free serving "
                         "of an exported artifact use "
                         "python -m gan_sr_wind_field_tpu.eval.server")
+    p.add_argument("--serve_int8", metavar="N", type=int, default=0,
+                   help="with --serve: calibrate the int8 HR-head serving "
+                        "path over N test-set samples before serving "
+                        "(small-batch latency lever, ops/quant.py; needs "
+                        "the fused-trunk single-device path)")
     p.add_argument("--download", action="store_true")
     p.add_argument("--param_search", action="store_true")
     p.add_argument("--synthetic", action="store_true",
@@ -269,6 +274,18 @@ def main(argv=None):
             from gan_sr_wind_field_tpu.eval.server import serve
 
             sr = WindFieldSR(gan, state.params_G)
+            if args.serve_int8 > 0:
+                import numpy as np
+
+                rng_np = np.random.default_rng(0)
+                n = min(args.serve_int8, len(ds_test))
+                calib = np.stack(
+                    [ds_test.get(i, rng_np)[0] for i in range(n)]
+                )
+                sr.quantize(calib)
+                status.info(
+                    f"int8 serving head calibrated over {n} test samples"
+                )
             status.info(
                 f"serving on 0.0.0.0:{args.serve} "
                 f"(POST /v1/upscale, GET /v1/health)"

@@ -177,6 +177,13 @@ def test_train_cli_smoke(tmp_path):
             served = np.load(io.BytesIO(r.read()))["sr"]
         assert served.shape == (X * s, Y * s, zl, 3)
         assert np.all(np.isfinite(served))
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/stats", timeout=30
+        ) as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 1
+        assert stats["request_latency"]["count"] >= 1
+        assert stats["request_latency"]["p50_ms"] > 0.0
     finally:
         daemon.terminate()
         daemon.wait(timeout=60)
@@ -254,3 +261,37 @@ def test_param_search_cli_smoke(tmp_path):
     records = [json.loads(l) for l in open(jsonl)]
     assert len(records) == 2
     assert all("PSNR" in r and "point" in r for r in records)
+
+
+def test_serve_int8_cli_wiring(tmp_path, monkeypatch):
+    """run.py --serve --serve_int8 N calibrates the int8 HR head over N
+    test-set samples before serving (serve() itself is stubbed out — the
+    daemon protocol is covered by the subprocess leg above)."""
+    import run as run_mod
+    from gan_sr_wind_field_tpu.eval import server as server_mod
+
+    cfg_src = open(os.path.join(REPO, "configs", "tiny.ini")).read()
+    cfg_src = cfg_src.replace("root_path = ./runs_root",
+                              f"root_path = {tmp_path}/runs_root")
+    cfg_src = cfg_src.replace("data_root = ./data",
+                              f"data_root = {tmp_path}/data")
+    # int8 serving requires the fused-trunk path (interpret-mode on CPU)
+    cfg_src = cfg_src.replace("compute_dtype = float32",
+                              "compute_dtype = float32\n"
+                              "use_fused_trunk = True", 1)
+    cfg_path = tmp_path / "tiny_int8.ini"
+    cfg_path.write_text(cfg_src)
+
+    captured = {}
+
+    def fake_serve(backend, **kw):
+        captured["backend"] = backend
+
+    monkeypatch.setattr(server_mod, "serve", fake_serve)
+    run_mod.main([
+        "--serve", "0", "--serve_int8", "2", "--synthetic",
+        "--synthetic_size", "16", "--cfg", str(cfg_path),
+    ])
+    sr = captured["backend"]
+    assert sr.qhead is not None  # calibration really ran
+    assert sr.qhead.wq_main.dtype.name == "int8"

@@ -220,6 +220,29 @@ def test_http_health_and_stats(http_server):
     assert h["status"] == "ok" and h["scale"] == 4
     s = _get_json(f"{url}/v1/stats")
     assert s["requests"] >= 1 and s["batches"] >= 1
+    lat = s["request_latency"]
+    assert lat["count"] >= 1
+    assert 0.0 <= lat["p50_ms"] <= lat["p95_ms"] <= lat["p99_ms"]
+    assert s["batch_duration"]["count"] >= 1
+
+
+def test_stats_snapshot_percentiles(rng):
+    be = _FakeBackend()
+    b = MicroBatcher(be, max_batch=4, max_wait_ms=100.0)
+    try:
+        lrs, zs = zip(*[_sample(rng) for _ in range(3)])
+        b.submit_many(list(lrs), list(zs))
+        s = b.stats_snapshot()
+        assert s["requests"] == 3
+        lat = s["request_latency"]
+        assert lat["count"] == 3
+        assert lat["p50_ms"] <= lat["p99_ms"]
+        assert lat["mean_ms"] >= 0.0
+        # request latency includes the batching wait; batch duration is
+        # just the backend call, so it can never exceed the max latency
+        assert s["batch_duration"]["p99_ms"] <= lat["p99_ms"] + 1e-6
+    finally:
+        b.close()
 
 
 def test_http_bad_payload_is_400(http_server):
