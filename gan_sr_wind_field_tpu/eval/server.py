@@ -356,6 +356,27 @@ class WindFieldServer(ThreadingHTTPServer):
         self.batcher.close()
 
 
+def warmup(backend, lr_shape, z_shape, batch_sizes, log=None) -> None:
+    """Pre-compile the serving program for the given batch sizes.
+
+    Remote TPU compiles cost minutes (CLAUDE.md), so without this the
+    FIRST request at each padded batch size eats that latency online.
+    ``lr_shape``/``z_shape`` are single-sample shapes (x,y,zl,C)/(X,Y,zl,1);
+    zeros are enough to trigger (and cache) the compile.
+    """
+    for b in batch_sizes:
+        t0 = time.monotonic()
+        backend.upscale(
+            np.zeros((int(b),) + tuple(lr_shape), np.float32),
+            np.zeros((int(b),) + tuple(z_shape), np.float32),
+        )
+        if log is not None:
+            log.info(
+                f"warmup: batch {b} compiled+ran in "
+                f"{time.monotonic() - t0:.1f}s"
+            )
+
+
 def serve(backend, host: str = "127.0.0.1", port: int = 0,
           max_batch: int = 128, max_wait_ms: float = 5.0,
           pad_pow2: bool = True, log=None,
@@ -364,13 +385,28 @@ def serve(backend, host: str = "127.0.0.1", port: int = 0,
 
     ``block=False`` runs the accept loop in a daemon thread and returns
     the server (``.server_address`` carries the bound port; ``.close()``
-    stops it); ``block=True`` serves until interrupted.
+    stops it); ``block=True`` serves until interrupted — SIGTERM/SIGINT
+    shut it down gracefully (in-flight batches finish, queued jobs get a
+    shutdown error, the process exits cleanly — same preemption
+    friendliness as the training loop's checkpoint handler).
     """
     srv = WindFieldServer(
         (host, port), backend, max_batch=max_batch,
         max_wait_ms=max_wait_ms, pad_pow2=pad_pow2, log=log,
     )
     if block:
+        import signal
+
+        def _graceful(signum, frame):
+            if log is not None:
+                log.info(f"signal {signum}: shutting down")
+            # shutdown() deadlocks if called from serve_forever's own
+            # thread (where this handler runs) — dispatch it
+            threading.Thread(target=srv.shutdown, daemon=True).start()
+
+        if threading.current_thread() is threading.main_thread():
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                signal.signal(sig, _graceful)
         try:
             srv.serve_forever()
         finally:
@@ -392,11 +428,24 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=128)
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--warmup", metavar="B1,B2,...", default="",
+                   help="pre-compile the artifact at these batch sizes "
+                        "before accepting traffic")
     args = p.parse_args(argv)
 
     from gan_sr_wind_field_tpu.eval.export import load_exported
 
     backend = load_exported(args.artifact)
+    if args.warmup:
+        import logging
+
+        logging.basicConfig(level=logging.INFO)
+        warmup(
+            backend, backend.header["lr_shape"][1:],
+            backend.header["z_shape"][1:],
+            [int(b) for b in args.warmup.split(",")],
+            log=logging.getLogger("windsr-serve"),
+        )
     print(f"serving {args.artifact} (scale {backend.scale}) on "
           f"{args.host}:{args.port}")
     serve(backend, host=args.host, port=args.port,

@@ -36,6 +36,12 @@ def argv_to_cfg(argv=None):
                         "loads weights like --use. For config-free serving "
                         "of an exported artifact use "
                         "python -m gan_sr_wind_field_tpu.eval.server")
+    p.add_argument("--serve_warmup", metavar="B1,B2,...", default="",
+                   help="with --serve: pre-compile the serving program at "
+                        "these batch sizes before accepting traffic (each "
+                        "remote TPU compile costs minutes; without warmup "
+                        "the first request at a new padded batch size pays "
+                        "it online)")
     p.add_argument("--serve_int8", metavar="N", type=int, default=0,
                    help="with --serve: calibrate the int8 HR-head serving "
                         "path over N test-set samples before serving "
@@ -285,6 +291,17 @@ def main(argv=None):
                 sr.quantize(calib)
                 status.info(
                     f"int8 serving head calibrated over {n} test samples"
+                )
+            if args.serve_warmup:
+                from gan_sr_wind_field_tpu.eval.server import warmup
+
+                sizes = [int(b) for b in args.serve_warmup.split(",")]
+                warmup(
+                    sr,
+                    (patch // cfg.scale, patch // cfg.scale,
+                     g.number_of_z_layers, cfg.lr_num_channels),
+                    (patch, patch, g.number_of_z_layers, 1),
+                    sizes, log=status,
                 )
             status.info(
                 f"serving on 0.0.0.0:{args.serve} "

@@ -142,7 +142,8 @@ def test_train_cli_smoke(tmp_path):
     sock.close()
     daemon = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "run.py"), "--serve",
-         str(port), "--synthetic", "--cfg", str(cfg_test_path)],
+         str(port), "--serve_warmup", "1", "--synthetic", "--cfg",
+         str(cfg_test_path)],
         cwd=str(tmp_path), env=env, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True,
     )
@@ -185,8 +186,11 @@ def test_train_cli_smoke(tmp_path):
         assert stats["request_latency"]["count"] >= 1
         assert stats["request_latency"]["p50_ms"] > 0.0
     finally:
-        daemon.terminate()
-        daemon.wait(timeout=60)
+        daemon.terminate()  # SIGTERM -> graceful shutdown path
+        rc = daemon.wait(timeout=60)
+    assert rc == 0, f"--serve did not shut down cleanly (rc {rc})"
+    log_tail = daemon.stdout.read()[-3000:]
+    assert "warmup: batch 1" in log_tail
 
 
 def test_download_cli_dispatch(tmp_path, monkeypatch):

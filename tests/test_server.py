@@ -14,7 +14,7 @@ import urllib.request
 import numpy as np
 import pytest
 
-from gan_sr_wind_field_tpu.eval.server import MicroBatcher, serve
+from gan_sr_wind_field_tpu.eval.server import MicroBatcher, serve, warmup
 
 
 class _FakeBackend:
@@ -163,6 +163,12 @@ def test_max_batch_respected(rng):
         assert max(be.calls) <= 2 and sum(be.calls) == 5
     finally:
         b.close()
+
+
+def test_warmup_runs_each_batch_size():
+    be = _FakeBackend()
+    warmup(be, (4, 4, 4, 4), (16, 16, 4, 1), [1, 4])
+    assert be.calls == [1, 4]
 
 
 # ------------------------------------------------------------- HTTP tier
