@@ -46,12 +46,17 @@ def export_generator(
     lr_size: Optional[Tuple[int, int]] = None,
     batch_polymorphic: bool = True,
     platforms: Sequence[str] = ("cpu", "tpu"),
+    norm_stats=None,
 ) -> dict:
     """Serialize ``gan``'s generator with ``params_G`` baked in.
 
     lr_size: horizontal LR extent (X, Y); defaults to the config's patch
     geometry (slice_size when slicing is enabled).  Returns the header
     metadata dict that was written.
+
+    norm_stats: the training cache's `NormStats` (or dict) — baked into
+    the header so artifact consumers can map the model's NORMALIZED-space
+    i/o back to physical units (wind · uvw_max, data/transform.py).
     """
     import jax
     import jax.numpy as jnp
@@ -117,6 +122,13 @@ def export_generator(
         "platforms": list(used_platforms),
         "jax_version": jax.__version__,
     }
+    if norm_stats is not None:
+        import dataclasses
+
+        header["norm_stats"] = (
+            dataclasses.asdict(norm_stats)
+            if dataclasses.is_dataclass(norm_stats) else dict(norm_stats)
+        )
     hdr = json.dumps(header).encode("utf-8")
     payload = exported.serialize()
     with open(path, "wb") as f:
@@ -136,6 +148,7 @@ class ExportedSR:
         self._exported = exported
         self.header = header
         self.scale = header["scale"]
+        self.norm_stats = header.get("norm_stats")  # physical-unit factors
 
     def upscale(self, lr, z_terrain):
         squeeze = np.ndim(lr) == 4

@@ -32,15 +32,23 @@ def _cosine_window(n: int) -> np.ndarray:
 
 
 class WindFieldSR:
-    def __init__(self, gan: WindFieldGAN, params_G, mesh=None):
+    def __init__(self, gan: WindFieldGAN, params_G, mesh=None,
+                 norm_stats=None):
         """``mesh``: optional device mesh — full volumes are sharded over
         its 'spatial' (x) axis so one forward spans multiple chips (GSPMD
         conv halo exchange; parallel/mesh.py). Alternative to host-side
-        `upscale_tiled` when a slice is available."""
+        `upscale_tiled` when a slice is available.
+
+        ``norm_stats``: the training cache's `NormStats` (or an equivalent
+        dict). Inference runs in NORMALIZED space (wind / uvw_max etc.,
+        data/transform.py) — carrying the stats here lets consumers (the
+        HTTP daemon's /v1/health, export headers) recover physical units.
+        """
         self.gan = gan
         self.params_G = params_G
         self.scale = gan.cfg.scale
         self.mesh = mesh
+        self.norm_stats = norm_stats
         self.qhead = None  # set by quantize()
         self._vol_sharding = None
         if mesh is not None:
@@ -50,7 +58,8 @@ class WindFieldSR:
 
     @classmethod
     def from_checkpoint(cls, cfg, checkpoint_path: str, x, y,
-                        lr_shape: Optional[Tuple[int, ...]] = None):
+                        lr_shape: Optional[Tuple[int, ...]] = None,
+                        norm_stats=None):
         """Restore a trained generator.
 
         Accepts either this framework's Orbax checkpoints (train/) or a
@@ -67,7 +76,8 @@ class WindFieldSR:
             params_G, _, _ = load_reference_checkpoint(gan.G, checkpoint_path)
             import jax.numpy as jnp
 
-            return cls(gan, jax.tree.map(jnp.asarray, params_G))
+            return cls(gan, jax.tree.map(jnp.asarray, params_G),
+                       norm_stats=norm_stats)
         g = cfg.gan_config
         if lr_shape is None:
             patch = g.slice_size if g.enable_slicing else len(x)
@@ -80,7 +90,7 @@ class WindFieldSR:
         )
         example = gan.init_state(jax.random.key(0), lr_shape, hr_shape)
         state = ckpt.restore_checkpoint(checkpoint_path, example)
-        return cls(gan, state.params_G)
+        return cls(gan, state.params_G, norm_stats=norm_stats)
 
     def quantize(self, calib_lr, batch: int = 8):
         """Calibrate + enable the int8 HR-head serving path (ops/quant.py).

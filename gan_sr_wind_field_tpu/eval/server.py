@@ -275,6 +275,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "status": "ok",
                 "scale": srv.meta.get("scale"),
                 "backend": srv.meta.get("backend"),
+                "norm_stats": srv.meta.get("norm_stats"),
             })
         elif self.path == "/v1/stats":
             # snapshot under the lock, write OUTSIDE it: a slow client must
@@ -345,9 +346,18 @@ class WindFieldServer(ThreadingHTTPServer):
             pad_pow2=pad_pow2,
         )
         self.log = log
+        stats = getattr(backend, "norm_stats", None)
+        if stats is not None and not isinstance(stats, dict):
+            import dataclasses
+
+            if dataclasses.is_dataclass(stats):
+                stats = dataclasses.asdict(stats)
         self.meta = {
             "scale": getattr(backend, "scale", None),
             "backend": type(backend).__name__,
+            # model i/o is in NORMALIZED space; these factors (uvw_max …)
+            # let clients recover physical units (data/transform.py)
+            "norm_stats": stats,
         }
 
     def close(self) -> None:

@@ -265,7 +265,10 @@ def main(argv=None):
         if args.export:
             from gan_sr_wind_field_tpu.eval.export import export_generator
 
-            header = export_generator(gan, state.params_G, args.export)
+            header = export_generator(
+                gan, state.params_G, args.export,
+                norm_stats=getattr(ds_test, "stats", None),
+            )
             status.info(
                 f"exported generator -> {args.export} "
                 f"(platforms {header['platforms']}, "
@@ -279,7 +282,10 @@ def main(argv=None):
             from gan_sr_wind_field_tpu.eval.serve import WindFieldSR
             from gan_sr_wind_field_tpu.eval.server import serve
 
-            sr = WindFieldSR(gan, state.params_G)
+            sr = WindFieldSR(
+                gan, state.params_G,
+                norm_stats=getattr(ds_test, "stats", None),
+            )
             if args.serve_int8 > 0:
                 import numpy as np
 

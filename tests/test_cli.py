@@ -118,6 +118,7 @@ def test_train_cli_smoke(tmp_path):
     from gan_sr_wind_field_tpu.eval.export import load_exported
 
     sr = load_exported(artifact)
+    assert sr.norm_stats is not None and sr.norm_stats["uvw_max"] > 0
     b, X, Y, zl, cin = [d if d != "b" else 2 for d in sr.header["lr_shape"]]
     s = sr.header["scale"]
     rng = np.random.default_rng(0)
@@ -164,6 +165,7 @@ def test_train_cli_smoke(tmp_path):
             except (urllib.error.URLError, ConnectionError, OSError):
                 time.sleep(1.0)
         assert health is not None and health["status"] == "ok", health
+        assert health["norm_stats"]["uvw_max"] > 0  # physical-unit factors
         buf = io.BytesIO()
         np.savez(
             buf,

@@ -72,3 +72,23 @@ def test_export_bad_magic(tmp_path):
     p.write_bytes(b"NOPE" + b"\x00" * 16)
     with pytest.raises(ValueError, match="not a WSRX artifact"):
         load_exported(str(p))
+
+
+def test_export_carries_norm_stats(tmp_path):
+    """The artifact header bakes in the training cache's normalization
+    factors so consumers can recover physical units (m/s) from the
+    model's normalized-space output."""
+    from gan_sr_wind_field_tpu.data.transform import NormStats
+
+    gan, params_G = _make_gan()
+    stats = NormStats(
+        z_min=12.0, z_max=1500.0, z_above_ground_max=400.0,
+        uvw_max=25.25, p_min=9.9e4, p_max=1.03e5,
+    )
+    path = str(tmp_path / "gen_stats.wsrx")
+    header = export_generator(gan, params_G, path, norm_stats=stats)
+    assert header["norm_stats"]["uvw_max"] == 25.25
+
+    sr = load_exported(path)
+    assert sr.norm_stats["uvw_max"] == 25.25
+    assert sr.norm_stats["z_min"] == 12.0

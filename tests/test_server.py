@@ -171,6 +171,22 @@ def test_warmup_runs_each_batch_size():
     assert be.calls == [1, 4]
 
 
+def test_health_reports_norm_stats():
+    """Model i/o is normalized-space; /v1/health must surface the
+    physical-unit factors when the backend carries them."""
+    import urllib.request  # noqa: F401  (via _get_json)
+
+    be = _FakeBackend()
+    be.norm_stats = {"uvw_max": 23.5, "z_min": 10.0}
+    srv = serve(be, host="127.0.0.1", port=0, max_wait_ms=1.0)
+    try:
+        host, port = srv.server_address
+        h = _get_json(f"http://{host}:{port}/v1/health")
+        assert h["norm_stats"] == {"uvw_max": 23.5, "z_min": 10.0}
+    finally:
+        srv.close()
+
+
 # ------------------------------------------------------------- HTTP tier
 def _post(url, timeout=120.0, **arrays):
     buf = io.BytesIO()
