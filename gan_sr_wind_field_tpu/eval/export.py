@@ -35,6 +35,8 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+from gan_sr_wind_field_tpu.data.transform import lr_channel_names
+
 _MAGIC = b"WSRX"
 _FORMAT_VERSION = 1
 
@@ -121,6 +123,12 @@ def export_generator(
         "batch_polymorphic": bool(batch_polymorphic),
         "platforms": list(used_platforms),
         "jax_version": jax.__version__,
+        # LR channel layout by name — makes the artifact self-describing
+        # (physical-units serving needs to know which channels to build)
+        "lr_channels": lr_channel_names(
+            g.include_pressure, g.include_z_channel,
+            g.include_above_ground_channel,
+        ),
     }
     if norm_stats is not None:
         import dataclasses
@@ -149,6 +157,7 @@ class ExportedSR:
         self.header = header
         self.scale = header["scale"]
         self.norm_stats = header.get("norm_stats")  # physical-unit factors
+        self.lr_channels = header.get("lr_channels")  # LR layout by name
 
     def upscale(self, lr, z_terrain):
         squeeze = np.ndim(lr) == 4
@@ -164,6 +173,31 @@ class ExportedSR:
                 )
         out = np.asarray(self._exported.call(lr, z_terrain))
         return out[0] if squeeze else out
+
+    def upscale_physical(self, lr_uvw, z, pressure=None,
+                         z_above_ground=None):
+        """Raw m/s wind in, m/s SR wind out — mirrors
+        `WindFieldSR.upscale_physical` using the channel layout and
+        norm_stats baked into the artifact header."""
+        if self.norm_stats is None or "lr_channels" not in self.header:
+            raise ValueError(
+                "artifact lacks norm_stats/lr_channels (re-export with "
+                "norm_stats to enable physical-units serving)"
+            )
+        from gan_sr_wind_field_tpu.data.transform import (
+            _stat,
+            physical_to_model_inputs,
+        )
+
+        names = self.header["lr_channels"]
+        lr, zt = physical_to_model_inputs(
+            lr_uvw, z, self.norm_stats, self.scale,
+            include_pressure="p" in names,
+            include_z_channel=("z" in names or "z_relative" in names),
+            include_above_ground_channel="z_above_ground" in names,
+            pressure=pressure, z_above_ground=z_above_ground,
+        )
+        return self.upscale(lr, zt) * _stat(self.norm_stats, "uvw_max")
 
 
 def load_exported(path: str) -> ExportedSR:

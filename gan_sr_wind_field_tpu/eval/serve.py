@@ -49,6 +49,13 @@ class WindFieldSR:
         self.scale = gan.cfg.scale
         self.mesh = mesh
         self.norm_stats = norm_stats
+        from gan_sr_wind_field_tpu.data.transform import lr_channel_names
+
+        _g = gan.cfg.gan_config
+        self.lr_channels = lr_channel_names(
+            _g.include_pressure, _g.include_z_channel,
+            _g.include_above_ground_channel,
+        )
         self.qhead = None  # set by quantize()
         self._vol_sharding = None
         if mesh is not None:
@@ -170,6 +177,45 @@ class WindFieldSR:
                 params_G, self.qhead, lr, z_terrain
             )
         return self.gan.generate(params_G, lr, z_terrain)
+
+    def upscale_physical(self, lr_uvw, z, pressure=None,
+                         z_above_ground=None, tiled=False, **tile_kw):
+        """Physical-units serving: raw m/s wind in, m/s SR wind out.
+
+        The model's i/o is normalized space; this builds the LR channel
+        stack exactly as the training pipeline did (data/transform.py:
+        physical_to_model_inputs — wind / uvw_max, optional min-max
+        pressure and terrain channels derived from the raw HR ``z``) and
+        denormalizes the output, using the ``norm_stats`` this instance
+        was constructed with.
+
+        lr_uvw: (x, y, zl, 3) wind in m/s (or batched); z: (X, Y, zl[,1])
+        raw geopotential height at HR resolution.  ``tiled=True`` routes
+        through `upscale_tiled` (single-sample only) with ``tile_kw``.
+        """
+        if self.norm_stats is None:
+            raise ValueError(
+                "physical-units serving needs norm_stats (pass the "
+                "training dataset's stats to WindFieldSR)"
+            )
+        from gan_sr_wind_field_tpu.data.transform import (
+            _stat,
+            physical_to_model_inputs,
+        )
+
+        g = self.gan.cfg.gan_config
+        lr, zt = physical_to_model_inputs(
+            lr_uvw, z, self.norm_stats, self.scale,
+            include_pressure=g.include_pressure,
+            include_z_channel=g.include_z_channel,
+            include_above_ground_channel=g.include_above_ground_channel,
+            pressure=pressure, z_above_ground=z_above_ground,
+        )
+        if tiled:
+            sr = self.upscale_tiled(lr, zt, **tile_kw)
+        else:
+            sr = self.upscale(lr, zt)
+        return sr * _stat(self.norm_stats, "uvw_max")
 
     def upscale(self, lr, z_terrain):
         """lr: (x, y, zl, C) or batched; returns (X, Y, zl, 3) float32."""

@@ -25,9 +25,17 @@ Design:
 Protocol (binary, numpy ``.npz`` both directions):
 
     POST /v1/upscale   body: npz with ``lr`` (x,y,zl,C) or (n,x,y,zl,C)
-                       and ``z`` (X,Y,zl,1) or (n,X,Y,zl,1)
+                       and ``z`` (X,Y,zl,1) or (n,X,Y,zl,1) — model
+                       (normalized) space both directions
                        -> 200, npz with ``sr`` float32
-    GET  /v1/health    -> 200 JSON {status, scale, backend}
+    POST /v1/upscale_physical
+                       body: npz with ``lr_uvw`` (…,x,y,zl,3) wind in
+                       m/s, ``z`` (…,X,Y,zl[,1]) raw height, optional
+                       ``pressure``/``z_above_ground`` per the model's
+                       lr_channels -> 200, npz ``sr`` in m/s (the server
+                       normalizes/denormalizes via its norm_stats)
+    GET  /v1/health    -> 200 JSON {status, scale, backend, norm_stats,
+                          lr_channels}
     GET  /v1/stats     -> 200 JSON micro-batcher counters + request/batch
                           latency percentiles (p50/p95/p99 ms, recent
                           window)
@@ -276,6 +284,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "scale": srv.meta.get("scale"),
                 "backend": srv.meta.get("backend"),
                 "norm_stats": srv.meta.get("norm_stats"),
+                "lr_channels": srv.meta.get("lr_channels"),
             })
         elif self.path == "/v1/stats":
             # snapshot under the lock, write OUTSIDE it: a slow client must
@@ -284,11 +293,41 @@ class _Handler(BaseHTTPRequestHandler):
         else:
             self._json(404, {"error": f"unknown path {self.path}"})
 
+    def _physical_inputs(self, npz):
+        """npz {lr_uvw, z[, pressure, z_above_ground]} in physical units →
+        normalized model inputs via the server's norm_stats + channel
+        layout (data/transform.py)."""
+        from gan_sr_wind_field_tpu.data.transform import (
+            physical_to_model_inputs,
+        )
+
+        meta = self.server.meta
+        stats, names = meta.get("norm_stats"), meta.get("lr_channels")
+        if stats is None or names is None:
+            raise ValueError(
+                "server has no norm_stats/lr_channels — physical-units "
+                "serving unavailable (serve from a checkpoint/artifact "
+                "that carries them)"
+            )
+        opt = {
+            k: np.asarray(npz[k], np.float32)
+            for k in ("pressure", "z_above_ground") if k in npz.files
+        }
+        return physical_to_model_inputs(
+            np.asarray(npz["lr_uvw"], np.float32),
+            np.asarray(npz["z"], np.float32), stats, meta["scale"],
+            include_pressure="p" in names,
+            include_z_channel=("z" in names or "z_relative" in names),
+            include_above_ground_channel="z_above_ground" in names,
+            **opt,
+        )
+
     def do_POST(self):
         # until the body has been fully read, error responses must close
         # the connection — an unread body would desync HTTP/1.1 keep-alive
         # (the next "request line" would be body bytes)
-        if self.path != "/v1/upscale":
+        physical = self.path == "/v1/upscale_physical"
+        if self.path != "/v1/upscale" and not physical:
             self.close_connection = True
             self._json(404, {"error": f"unknown path {self.path}"})
             return
@@ -300,8 +339,11 @@ class _Handler(BaseHTTPRequestHandler):
             body = self.rfile.read(length)
             body_read = True
             with np.load(io.BytesIO(body), allow_pickle=False) as npz:
-                lr = np.asarray(npz["lr"], np.float32)
-                z = np.asarray(npz["z"], np.float32)
+                if physical:
+                    lr, z = self._physical_inputs(npz)
+                else:
+                    lr = np.asarray(npz["lr"], np.float32)
+                    z = np.asarray(npz["z"], np.float32)
             squeeze = lr.ndim == 4
             if squeeze:
                 lr, z = lr[None], z[None]
@@ -320,6 +362,10 @@ class _Handler(BaseHTTPRequestHandler):
             # with everything else in flight (same shape key -> same call)
             outs = self.server.batcher.submit_many(list(lr), list(z))
             sr = np.stack(outs)
+            if physical:  # back to m/s
+                from gan_sr_wind_field_tpu.data.transform import _stat
+
+                sr = sr * _stat(self.server.meta["norm_stats"], "uvw_max")
         except Exception as e:
             self._json(500, {"error": str(e)})
             return
@@ -358,6 +404,7 @@ class WindFieldServer(ThreadingHTTPServer):
             # model i/o is in NORMALIZED space; these factors (uvw_max …)
             # let clients recover physical units (data/transform.py)
             "norm_stats": stats,
+            "lr_channels": getattr(backend, "lr_channels", None),
         }
 
     def close(self) -> None:

@@ -92,3 +92,44 @@ def test_export_carries_norm_stats(tmp_path):
     sr = load_exported(path)
     assert sr.norm_stats["uvw_max"] == 25.25
     assert sr.norm_stats["z_min"] == 12.0
+
+
+def test_exported_upscale_physical(tmp_path, rng):
+    """Artifact-level physical-units serving: channel layout + norm_stats
+    from the header reproduce WindFieldSR.upscale_physical semantics."""
+    from gan_sr_wind_field_tpu.data.transform import NormStats
+
+    gan, params_G = _make_gan()
+    stats = NormStats(z_min=50.0, z_max=900.0, z_above_ground_max=300.0,
+                      uvw_max=21.5, p_min=9.0e4, p_max=1.05e5)
+    path = str(tmp_path / "gen_phys.wsrx")
+    header = export_generator(gan, params_G, path, norm_stats=stats)
+    assert header["lr_channels"] == ["u", "v", "w", "z"]
+
+    sr = load_exported(path)
+    z = (np.cumsum(1.0 + rng.random((16, 16, 4)), axis=2) * 30 + 60).astype(
+        np.float32
+    )
+    lr_uvw = (rng.standard_normal((4, 4, 4, 3)) * 5).astype(np.float32)
+    got = sr.upscale_physical(lr_uvw, z)
+    assert got.shape == (16, 16, 4, 3)
+
+    # oracle: hand-built normalized inputs through the plain artifact call
+    lr = np.concatenate(
+        [lr_uvw / stats.uvw_max,
+         ((z[::4, ::4] - stats.z_min)
+          / (stats.z_max - stats.z_min))[..., None]], axis=-1,
+    ).astype(np.float32)
+    want = sr.upscale(lr, z[..., None]) * stats.uvw_max
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_exported_upscale_physical_requires_stats(tmp_path, rng):
+    gan, params_G = _make_gan()
+    path = str(tmp_path / "gen_nostats.wsrx")
+    export_generator(gan, params_G, path)
+    sr = load_exported(path)
+    with pytest.raises(ValueError, match="norm_stats"):
+        sr.upscale_physical(
+            np.zeros((4, 4, 4, 3), np.float32), np.zeros((16, 16, 4))
+        )

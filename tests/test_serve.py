@@ -133,3 +133,85 @@ def test_dp_mesh_batched_upscale_matches_single(rng):
                           mesh=gan_dp.mesh).upscale(lr, zt)
     assert sharded.shape == direct.shape == (8, 16, 16, 4, 3)
     np.testing.assert_allclose(sharded, direct, rtol=2e-4, atol=1e-5)
+
+
+# ------------------------------------------------- physical-units serving
+def _raw_fields(rng, X=16, zl=4):
+    z = (np.cumsum(1.0 + rng.random((X, X, zl)), axis=2) * 30 + 60).astype(
+        np.float32
+    )
+    zag = (rng.random((X, X, zl)) * 250).astype(np.float32)
+    u, v, w = (
+        (rng.standard_normal((X, X, zl)) * 5).astype(np.float32)
+        for _ in range(3)
+    )
+    p = (rng.random((X, X, zl)) * 1e4 + 9.2e4).astype(np.float32)
+    return z, zag, u, v, w, p
+
+
+def _stats():
+    from gan_sr_wind_field_tpu.data.transform import NormStats
+
+    return NormStats(z_min=50.0, z_max=900.0, z_above_ground_max=300.0,
+                     uvw_max=21.5, p_min=9.0e4, p_max=1.05e5)
+
+
+def test_physical_inputs_match_pipeline_normalization(rng):
+    """physical_to_model_inputs must reproduce reformat_sample's LR
+    channel stack exactly (the training pipeline is the oracle) — all
+    channel branches (pressure, z, z_above_ground+z_relative)."""
+    from gan_sr_wind_field_tpu.data.transform import (
+        physical_to_model_inputs,
+        reformat_sample,
+    )
+
+    z, zag, u, v, w, p = _raw_fields(rng)
+    stats = _stats()
+    for inc_p, inc_z, inc_zag in [
+        (False, True, False), (True, True, True), (False, False, False),
+    ]:
+        lr_ref, _hr, Z_ref = reformat_sample(
+            z, zag, u, v, w, p, stats, coarseness_factor=4,
+            include_pressure=inc_p, include_z_channel=inc_z,
+            include_above_ground_channel=inc_zag,
+        )
+        lr_uvw_raw = np.stack([u, v, w], -1)[::4, ::4]
+        lr_got, zt_got = physical_to_model_inputs(
+            lr_uvw_raw, z, stats, 4,
+            include_pressure=inc_p, include_z_channel=inc_z,
+            include_above_ground_channel=inc_zag,
+            pressure=p[::4, ::4], z_above_ground=zag,
+        )
+        np.testing.assert_allclose(lr_got, lr_ref, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(zt_got, Z_ref)
+
+
+def test_upscale_physical_roundtrip(rng):
+    """upscale_physical == normalized upscale on the pipeline-built LR,
+    scaled back to m/s."""
+    sr, cfg = _make_sr()
+    from gan_sr_wind_field_tpu.data.transform import reformat_sample
+
+    z, zag, u, v, w, p = _raw_fields(rng)
+    stats = _stats()
+    g = cfg.gan_config
+    lr_ref, _hr, Z_ref = reformat_sample(
+        z, zag, u, v, w, p, stats, coarseness_factor=4,
+        include_pressure=g.include_pressure,
+        include_z_channel=g.include_z_channel,
+        include_above_ground_channel=g.include_above_ground_channel,
+    )
+    sr.norm_stats = stats
+    lr_uvw_raw = np.stack([u, v, w], -1)[::4, ::4]
+    got = sr.upscale_physical(lr_uvw_raw, z)
+    want = sr.upscale(lr_ref, Z_ref) * stats.uvw_max
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_upscale_physical_requires_stats(rng):
+    import pytest
+
+    sr, _ = _make_sr()
+    z, zag, u, v, w, p = _raw_fields(rng)
+    with pytest.raises(ValueError, match="norm_stats"):
+        sr.upscale_physical(np.stack([u, v, w], -1)[::4, ::4], z)

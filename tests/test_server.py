@@ -340,3 +340,39 @@ def test_http_serves_exported_artifact(tmp_path, rng):
         assert h["backend"] == "ExportedSR"
     finally:
         srv.close()
+
+
+def test_http_upscale_physical_roundtrip(rng):
+    """POST /v1/upscale_physical: m/s wind in, m/s SR out — must equal the
+    backend's own upscale_physical."""
+    from test_serve import _make_sr, _raw_fields, _stats
+
+    sr, _ = _make_sr()
+    sr.norm_stats = _stats()
+    srv = serve(sr, host="127.0.0.1", port=0, max_batch=4, max_wait_ms=5.0)
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        h = _get_json(f"{url}/v1/health")
+        assert h["lr_channels"] == ["u", "v", "w", "z"]
+        assert h["norm_stats"]["uvw_max"] == 21.5
+
+        z, zag, u, v, w, p = _raw_fields(rng)
+        lr_uvw = np.stack([u, v, w], -1)[::4, ::4]
+        out = _post(f"{url}/v1/upscale_physical", lr_uvw=lr_uvw, z=z)["sr"]
+        want = sr.upscale_physical(lr_uvw, z)
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+    finally:
+        srv.close()
+
+
+def test_http_upscale_physical_without_stats_is_400(http_server, rng):
+    """The module fixture's backend carries no norm_stats — the physical
+    endpoint must refuse cleanly."""
+    url, _ = http_server
+    lr_uvw = rng.standard_normal((4, 4, 4, 3)).astype(np.float32)
+    z = rng.standard_normal((16, 16, 4)).astype(np.float32)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{url}/v1/upscale_physical", lr_uvw=lr_uvw, z=z)
+    assert ei.value.code == 400
+    assert "norm_stats" in ei.value.read().decode()
