@@ -238,6 +238,12 @@ class TrainingConfig:
     # (wind_field_GAN_3D.py:458-459); enabling this applies global-norm
     # gradient clipping at max_norm in both optimizers
     use_grad_clipping: bool = False
+    # TPU addition (off by default for parity): exponential moving average
+    # of the generator weights, updated after each G optimizer step —
+    # the classic ESRGAN-lineage serving-quality lever the reference
+    # lacks. 0 disables; typical values 0.999-0.9999. When present in a
+    # checkpoint, --use/--export/--serve prefer the EMA weights.
+    g_ema_decay: float = 0.0
 
 
 @dataclass
@@ -554,6 +560,7 @@ class Config:
             T.use_grad_clipping = _get(
                 tr, "use_grad_clipping", bool, T.use_grad_clipping
             )
+            T.g_ema_decay = _get(tr, "g_ema_decay", float, T.g_ema_decay)
             T.log_period = _get(tr, "log_period", int, T.log_period)
 
         for sec_name, attr in (

@@ -80,6 +80,9 @@ class GANTrainState(flax.struct.PyTreeNode):
     opt_state_D: Any
     it: jnp.ndarray  # int32 scalar, number of completed iterations
     rng: jax.Array
+    # EMA of params_G (cfg.training.g_ema_decay > 0) — None when disabled,
+    # so checkpoints and traces are unchanged for the parity default
+    params_G_ema: Any = None
 
 
 def _zeros_loss_dict():
@@ -274,6 +277,7 @@ class WindFieldGAN:
             return opt
 
         self.log_grad_norm = bool(getattr(t, "use_grad_clipping", False))
+        self.ema_decay = float(getattr(t, "g_ema_decay", 0.0))
         self.opt_G = make_opt(t.adam_beta1_g, t.adam_weight_decay_g)
         self.opt_D = make_opt(t.adam_beta1_d, t.adam_weight_decay_d)
         if t.multistep_lr and t.multistep_lr_steps:
@@ -340,6 +344,11 @@ class WindFieldGAN:
             opt_state_D=self.opt_D.init(params_D),
             it=jnp.int32(0),
             rng=k_state,
+            # distinct buffers (donation may not alias params_G)
+            params_G_ema=(
+                jax.tree.map(jnp.copy, params_G)
+                if self.ema_decay > 0.0 else None
+            ),
         )
 
     # ----------------------------------------------------------------- fwd
@@ -705,6 +714,15 @@ class WindFieldGAN:
                 (state, lr, hr, z, it, keys, w),
             )
         params_G, opt_G, params_D, opt_D, bs_D, metrics = outs
+        params_G_ema = state.params_G_ema
+        if self.ema_decay > 0.0 and params_G_ema is not None:
+            # branchless: moves only on G steps (is_g_step is 0.0 on D
+            # steps, where params_G is unchanged anyway)
+            a = (1.0 - self.ema_decay) * metrics["is_g_step"]
+            params_G_ema = jax.tree.map(
+                lambda e, p: e + a * (p.astype(e.dtype) - e),
+                params_G_ema, params_G,
+            )
         new_state = GANTrainState(
             params_G=params_G,
             params_D=params_D,
@@ -714,6 +732,7 @@ class WindFieldGAN:
             opt_state_D=opt_D,
             it=it,
             rng=keys["next"],
+            params_G_ema=params_G_ema,
         )
         metrics["lr_G"] = self.lr_G(it)
         return new_state, metrics

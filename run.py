@@ -262,6 +262,10 @@ def main(argv=None):
                     "no generator_load_path set — exporting/serving "
                     "freshly-initialized RANDOM weights"
                 )
+        if getattr(state, "params_G_ema", None) is not None:
+            # EMA weights are the deployment weights (g_ema_decay > 0)
+            state = state.replace(params_G=state.params_G_ema)
+            status.info("using EMA generator weights for inference")
         if args.export:
             from gan_sr_wind_field_tpu.eval.export import export_generator
 

@@ -410,3 +410,37 @@ def test_loop_reaches_niter_when_batch_nearly_spans_split(tmp_path):
     assert len(ds_train) == 3  # 80% chronological split of 4 hours
     state = train(cfg, ds_train, None, x, y)
     assert int(state.it) == 10
+
+
+def test_checkpoint_roundtrip_with_ema(tmp_path, rng):
+    """EMA weights persist through save/restore (they live in the state
+    pytree) and resume training identically."""
+    cfg = tiny_cfg(g_ema_decay=0.9)
+    x = np.arange(16, dtype=np.float32) * 150
+    gan = WindFieldGAN(cfg, x, x)
+    state = gan.init_state(
+        jax.random.key(0), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+    )
+    lr, hr, z = make_batch(rng)
+    for _ in range(3):
+        state, _ = gan.train_step(state, lr, hr, z)
+    path = ckpt.save_checkpoint(str(tmp_path), state)
+
+    fresh = gan.init_state(
+        jax.random.key(99), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+    )
+    restored = ckpt.restore_checkpoint(path, fresh)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        state.params_G_ema, restored.params_G_ema,
+    )
+    s_a, _ = gan.train_step(state, lr, hr, z)
+    s_b, _ = gan.train_step(restored, lr, hr, z)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        s_a.params_G_ema, s_b.params_G_ema,
+    )

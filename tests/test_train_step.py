@@ -301,3 +301,56 @@ def test_multistep_lr_matches_torch_scheduler():
         # (train.py:152)
         if it > 2 * period:
             sched.step()
+
+
+# --------------------------------------------------------------- EMA weights
+def test_ema_disabled_by_default(gan_and_state, rng):
+    gan, state = gan_and_state
+    assert state.params_G_ema is None
+    lr, hr, z = make_batch(np.random.default_rng(0))
+    s1, _ = gan.train_step(state, lr, hr, z)
+    assert s1.params_G_ema is None  # parity default: no EMA in the state
+
+
+def test_ema_tracks_g_steps_exactly():
+    """params_G_ema must follow e' = d·e + (1−d)·p after every G step and
+    stay frozen across D steps (host-side recomputation is the oracle)."""
+    cfg = tiny_cfg(g_ema_decay=0.5)  # large (1-d) so drift is visible
+    x = np.arange(16, dtype=np.float32) * 150
+    gan = WindFieldGAN(cfg, x, x)
+    state = gan.init_state(
+        jax.random.key(0), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+    )
+    assert state.params_G_ema is not None
+    # starts as a copy of params_G
+    jax.tree.map(
+        lambda e, p: np.testing.assert_array_equal(e, p),
+        state.params_G_ema, state.params_G,
+    )
+    d = 0.5
+    ema = jax.tree.map(np.asarray, state.params_G_ema)
+    lr, hr, z = make_batch(np.random.default_rng(0), smooth=True)
+    saw_g = saw_d = False
+    for _ in range(4):
+        state, m = gan.train_step(state, lr, hr, z)
+        if float(m["is_g_step"]) == 1.0:
+            saw_g = True
+            ema = jax.tree.map(
+                lambda e, p: d * e + (1 - d) * np.asarray(p),
+                ema, state.params_G,
+            )
+        else:
+            saw_d = True  # ema must not move
+        jax.tree.map(
+            lambda e_want, e_got: np.testing.assert_allclose(
+                np.asarray(e_got), e_want, rtol=1e-6, atol=1e-7
+            ),
+            ema, state.params_G_ema,
+        )
+    assert saw_g and saw_d  # the alternation exercised both branches
+    # and the EMA genuinely differs from the live weights by now
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda e, p: float(np.abs(np.asarray(e) - np.asarray(p)).max()),
+        state.params_G_ema, state.params_G,
+    ))
+    assert max(diffs) > 0.0
