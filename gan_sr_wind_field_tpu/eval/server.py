@@ -490,6 +490,13 @@ def main(argv=None) -> int:
                         "before accepting traffic")
     args = p.parse_args(argv)
 
+    import os
+
+    if os.environ.get("WINDSR_PLATFORM"):  # same override as run.py
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["WINDSR_PLATFORM"])
+
     from gan_sr_wind_field_tpu.eval.export import load_exported
 
     backend = load_exported(args.artifact)

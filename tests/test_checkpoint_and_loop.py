@@ -444,3 +444,101 @@ def test_checkpoint_roundtrip_with_ema(tmp_path, rng):
         ),
         s_a.params_G_ema, s_b.params_G_ema,
     )
+
+
+def test_checkpoint_ema_cross_config_restore(tmp_path, rng):
+    """EMA-slot reconciliation: an EMA checkpoint restores under a
+    non-EMA config (keeping the EMA weights), and a pre-EMA checkpoint
+    restores under an EMA config (EMA seeded from the live weights)."""
+    x = np.arange(16, dtype=np.float32) * 150
+    shapes = ((2, 4, 4, 4, 4), (2, 16, 16, 4, 3))
+    lr, hr, z = make_batch(rng)
+
+    gan_ema = WindFieldGAN(tiny_cfg(g_ema_decay=0.9), x, x)
+    s = gan_ema.init_state(jax.random.key(0), *shapes)
+    for _ in range(2):
+        s, _ = gan_ema.train_step(s, lr, hr, z)
+    path_ema = ckpt.save_checkpoint(str(tmp_path / "ema"), s)
+
+    gan_plain = WindFieldGAN(tiny_cfg(), x, x)
+    s_plain = gan_plain.init_state(jax.random.key(0), *shapes)
+    for _ in range(2):
+        s_plain, _ = gan_plain.train_step(s_plain, lr, hr, z)
+    path_plain = ckpt.save_checkpoint(str(tmp_path / "plain"), s_plain)
+
+    # EMA ckpt -> plain config: live weights AND the ema survive
+    ex_plain = gan_plain.init_state(jax.random.key(9), *shapes)
+    r = ckpt.restore_checkpoint(path_ema, ex_plain)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        r.params_G, s.params_G,
+    )
+    assert r.params_G_ema is not None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        r.params_G_ema, s.params_G_ema,
+    )
+
+    # plain ckpt -> EMA config: EMA seeded from the restored live weights
+    ex_ema = gan_ema.init_state(jax.random.key(9), *shapes)
+    r2 = ckpt.restore_checkpoint(path_plain, ex_ema)
+    assert r2.params_G_ema is not None
+    jax.tree.map(
+        lambda e, p: np.testing.assert_array_equal(np.asarray(e),
+                                                   np.asarray(p)),
+        r2.params_G_ema, r2.params_G,
+    )
+    # and training continues (the seeded EMA is donation-safe)
+    s3, _ = gan_ema.train_step(r2, lr, hr, z)
+    assert s3.params_G_ema is not None
+
+
+def test_restore_pre_ema_legacy_checkpoint(tmp_path, rng):
+    """Checkpoints written BEFORE the params_G_ema field existed have no
+    such key on disk at all; restore must still work under both non-EMA
+    and EMA configs (regression: the EMA state addition must not orphan
+    existing run checkpoints)."""
+    import orbax.checkpoint as ocp
+
+    from gan_sr_wind_field_tpu.train.checkpoint import (
+        _LEGACY_FIELDS,
+        _LegacyStateV1,
+        _to_savable,
+    )
+
+    x = np.arange(16, dtype=np.float32) * 150
+    shapes = ((2, 4, 4, 4, 4), (2, 16, 16, 4, 3))
+    gan = WindFieldGAN(tiny_cfg(), x, x)
+    s = gan.init_state(jax.random.key(0), *shapes)
+    lr, hr, z = make_batch(rng)
+    s, _ = gan.train_step(s, lr, hr, z)
+
+    # write the OLD 8-field layout directly (what old runs have on disk)
+    legacy = _LegacyStateV1(**{f: getattr(s, f) for f in _LEGACY_FIELDS})
+    path = str(tmp_path / "ckpt_legacy")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, _to_savable(legacy), force=True)
+    ckptr.wait_until_finished()
+
+    # non-EMA config
+    ex = gan.init_state(jax.random.key(9), *shapes)
+    r = ckpt.restore_checkpoint(path, ex)
+    assert r.params_G_ema is None
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        r.params_G, s.params_G,
+    )
+
+    # EMA config: seeded from the restored live weights
+    gan_e = WindFieldGAN(tiny_cfg(g_ema_decay=0.9), x, x)
+    ex_e = gan_e.init_state(jax.random.key(9), *shapes)
+    r2 = ckpt.restore_checkpoint(path, ex_e)
+    assert r2.params_G_ema is not None
+    jax.tree.map(
+        lambda e, p: np.testing.assert_array_equal(np.asarray(e),
+                                                   np.asarray(p)),
+        r2.params_G_ema, r2.params_G,
+    )
