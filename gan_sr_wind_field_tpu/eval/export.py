@@ -200,21 +200,32 @@ class ExportedSR:
         return self.upscale(lr, zt) * _stat(self.norm_stats, "uvw_max")
 
 
-def load_exported(path: str) -> ExportedSR:
-    """Deserialize an artifact written by `export_generator`."""
-    from jax import export as jexport
-
+def read_header(path: str) -> dict:
+    """Artifact metadata only (scale, shapes, norm_stats, lr_channels) —
+    no jax.export deserialization, so it is cheap and backend-free."""
     with open(path, "rb") as f:
         magic = f.read(4)
         if magic != _MAGIC:
             raise ValueError(f"{path}: not a WSRX artifact (magic {magic!r})")
         (hdr_len,) = struct.unpack("<I", f.read(4))
         header = json.loads(f.read(hdr_len).decode("utf-8"))
-        if header["format_version"] > _FORMAT_VERSION:
-            raise ValueError(
-                f"{path}: format v{header['format_version']} is newer than "
-                f"this reader (v{_FORMAT_VERSION})"
-            )
+    if header["format_version"] > _FORMAT_VERSION:
+        raise ValueError(
+            f"{path}: format v{header['format_version']} is newer than "
+            f"this reader (v{_FORMAT_VERSION})"
+        )
+    return header
+
+
+def load_exported(path: str) -> ExportedSR:
+    """Deserialize an artifact written by `export_generator`."""
+    from jax import export as jexport
+
+    header = read_header(path)
+    with open(path, "rb") as f:
+        f.seek(4)
+        (hdr_len,) = struct.unpack("<I", f.read(4))
+        f.seek(8 + hdr_len)
         payload = f.read()
     exported = jexport.deserialize(payload)
     return ExportedSR(exported, header)

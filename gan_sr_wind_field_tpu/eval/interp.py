@@ -61,7 +61,8 @@ def interpolated_sr(cfg, path_gan: str, path_psnr: str, alpha: float,
     sr_gan = WindFieldSR.from_checkpoint(cfg, path_gan, x, y)
     sr_psnr = WindFieldSR.from_checkpoint(cfg, path_psnr, x, y)
     sr_gan.params_G = blend_params(sr_gan.params_G, sr_psnr.params_G, alpha)
-    sr_gan.norm_stats = norm_stats
+    if norm_stats is not None:
+        sr_gan.norm_stats = norm_stats
     return sr_gan
 
 
@@ -80,6 +81,10 @@ def main(argv=None) -> int:
     p.add_argument("--alpha", type=float, required=True,
                    help="GAN weight in [0,1]: 0 = pure PSNR, 1 = pure GAN")
     p.add_argument("--out", required=True, help="output .wsrx artifact")
+    p.add_argument("--stats_from", default=None, metavar="ARTIFACT.wsrx",
+                   help="copy norm_stats from an existing export so the "
+                        "blended artifact supports physical-units serving "
+                        "(checkpoints do not carry normalization stats)")
     args = p.parse_args(argv)
 
     import os
@@ -98,8 +103,20 @@ def main(argv=None) -> int:
     n = (cfg.gan_config.slice_size if cfg.gan_config.enable_slicing
          else 128)
     x = np.arange(n, dtype=np.float32) * 150.0
-    sr = interpolated_sr(cfg, args.gan, args.psnr, args.alpha, x, x)
-    header = export_generator(sr.gan, sr.params_G, args.out)
+    stats = None
+    if args.stats_from:
+        from gan_sr_wind_field_tpu.eval.export import read_header
+
+        stats = read_header(args.stats_from).get("norm_stats")
+        if stats is None:
+            raise SystemExit(
+                f"{args.stats_from} carries no norm_stats — re-export it "
+                "with stats to use --stats_from"
+            )
+    sr = interpolated_sr(cfg, args.gan, args.psnr, args.alpha, x, x,
+                         norm_stats=stats)
+    header = export_generator(sr.gan, sr.params_G, args.out,
+                              norm_stats=stats)
     print(f"blended alpha={args.alpha} -> {args.out} "
           f"(platforms {header['platforms']})")
     return 0

@@ -90,3 +90,50 @@ def test_cli_emits_serving_artifact(tmp_path, rng):
     want_params = blend_params(s_a.params_G, s_b.params_G, 0.8)
     want = np.asarray(gan.generate(want_params, lr[None], zt[None]))[0]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_cli_stats_from_enables_physical_units(tmp_path, rng):
+    """--stats_from copies norm_stats out of an existing export (header
+    read only) so the BLENDED artifact serves physical units too."""
+    from gan_sr_wind_field_tpu.eval.export import (
+        export_generator,
+        load_exported,
+        read_header,
+    )
+
+    cfg, gan, s_a, s_b, path_a, path_b = _two_states(tmp_path)
+    stats = {"z_min": -2.7, "z_max": 550.4, "z_above_ground_max": 68.5,
+             "uvw_max": 32.33, "p_min": 0.0, "p_max": 105182.8}
+    donor = str(tmp_path / "donor.wsrx")
+    export_generator(gan, s_a.params_G, donor, norm_stats=stats)
+    assert read_header(donor)["norm_stats"] == stats
+
+    cfg_path = tmp_path / "arch.ini"
+    cfg.save(str(cfg_path))
+    out = str(tmp_path / "blend.wsrx")
+    rc = main(["--cfg", str(cfg_path), "--gan", path_a, "--psnr", path_b,
+               "--alpha", "0.5", "--out", out, "--stats_from", donor])
+    assert rc == 0
+
+    sr = load_exported(out)
+    assert sr.norm_stats == stats
+    assert sr.lr_channels == ["u", "v", "w", "z"]  # tiny_cfg layout
+    from gan_sr_wind_field_tpu.data.transform import physical_to_model_inputs
+
+    lr_uvw = rng.standard_normal((4, 4, 4, 3)).astype(np.float32)
+    z = rng.standard_normal((16, 16, 4)).astype(np.float32)
+    got = sr.upscale_physical(lr_uvw, z)
+    want_lr, want_zt = physical_to_model_inputs(
+        lr_uvw, z, stats, sr.scale, include_z_channel=True
+    )
+    np.testing.assert_allclose(
+        got, sr.upscale(want_lr, want_zt) * stats["uvw_max"],
+        rtol=1e-6, atol=1e-6,
+    )
+
+    # a donor without stats is rejected with a clear message
+    bare = str(tmp_path / "bare.wsrx")
+    export_generator(gan, s_a.params_G, bare)
+    with pytest.raises(SystemExit, match="no norm_stats"):
+        main(["--cfg", str(cfg_path), "--gan", path_a, "--psnr", path_b,
+              "--alpha", "0.5", "--out", out, "--stats_from", bare])
