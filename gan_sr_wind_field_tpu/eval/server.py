@@ -34,6 +34,17 @@ Protocol (binary, numpy ``.npz`` both directions):
                        ``pressure``/``z_above_ground`` per the model's
                        lr_channels -> 200, npz ``sr`` in m/s (the server
                        normalizes/denormalizes via its norm_stats)
+    POST /v1/upscale_tiled
+                       ONE volume of arbitrary horizontal extent —
+                       model-space ``lr``+``z`` or physical ``lr_uvw``+
+                       ``z`` keys as above, unbatched. The server
+                       overlap-tiles it at its configured tile size
+                       (requests may override ``overlap`` via a scalar
+                       npz entry; tile size stays server-side so compile
+                       variants stay bounded), routes every tile through
+                       the micro-batcher — tiles stack with everything
+                       else in flight — and cosine-blends the seams
+                       -> 200, npz ``sr`` covering the full volume
     GET  /v1/health    -> 200 JSON {status, scale, backend, norm_stats,
                           lr_channels}
     GET  /v1/stats     -> 200 JSON micro-batcher counters + request/batch
@@ -257,6 +268,49 @@ class MicroBatcher:
         return snap
 
 
+def tiled_upscale_via(submit_many, lr, z, scale: int, tile: int = 64,
+                      overlap: int = 16) -> np.ndarray:
+    """Overlap-tiled SR of ONE arbitrary-extent volume, each tile routed
+    through ``submit_many`` (the micro-batcher's list-in/list-out call) so
+    tiles stack with everything else in flight; host-side raised-cosine
+    seam blending. The HTTP-tier counterpart of
+    `WindFieldSR.upscale_tiled` (eval/serve.py) — that one is a
+    device-resident pipeline for library callers; this one decomposes
+    into the daemon's shared dispatcher stream.
+
+    lr: (x, y, zl, C) model-space input; z: (x·s, y·s, zl, 1).
+    ``tile``/``overlap`` in LR pixels; tile is clamped to the volume.
+    """
+    X, Y = lr.shape[0], lr.shape[1]
+    tile = min(int(tile), X, Y)
+    if X <= tile and Y <= tile:
+        return submit_many([lr], [z])[0]
+    if not 0 <= overlap < tile:
+        raise ValueError(f"overlap must be in [0, tile); got {overlap} "
+                         f"with tile {tile}")
+    s = int(scale)
+    step = tile - overlap
+    xs = sorted({min(x0, X - tile) for x0 in range(0, X, step)})
+    ys = sorted({min(y0, Y - tile) for y0 in range(0, Y, step)})
+    coords = [(x0, y0) for x0 in xs for y0 in ys]
+    srs = submit_many(
+        [lr[x0:x0 + tile, y0:y0 + tile] for x0, y0 in coords],
+        [z[x0 * s:(x0 + tile) * s, y0 * s:(y0 + tile) * s]
+         for x0, y0 in coords],
+    )
+    # raised-cosine profile, 1.0 mid-tile (same form as serve.py)
+    t = (np.arange(tile * s) + 0.5) / (tile * s)
+    win1d = 0.5 - 0.5 * np.cos(2 * np.pi * t)
+    win = np.outer(win1d, win1d)[:, :, None, None].astype(np.float32)
+    out = np.zeros((X * s, Y * s, lr.shape[2], 3), np.float32)
+    weight = np.zeros((X * s, Y * s, 1, 1), np.float32)
+    for (x0, y0), sr_t in zip(coords, srs):
+        sl = np.s_[x0 * s:(x0 + tile) * s, y0 * s:(y0 + tile) * s]
+        out[sl] += np.asarray(sr_t) * win
+        weight[sl] += win
+    return out / np.maximum(weight, 1e-12)
+
+
 # ---------------------------------------------------------------- HTTP tier
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
@@ -285,6 +339,8 @@ class _Handler(BaseHTTPRequestHandler):
                 "backend": srv.meta.get("backend"),
                 "norm_stats": srv.meta.get("norm_stats"),
                 "lr_channels": srv.meta.get("lr_channels"),
+                "tile": srv.meta.get("tile"),
+                "tile_overlap": srv.meta.get("tile_overlap"),
             })
         elif self.path == "/v1/stats":
             # snapshot under the lock, write OUTSIDE it: a slow client must
@@ -326,8 +382,9 @@ class _Handler(BaseHTTPRequestHandler):
         # until the body has been fully read, error responses must close
         # the connection — an unread body would desync HTTP/1.1 keep-alive
         # (the next "request line" would be body bytes)
+        tiled = self.path == "/v1/upscale_tiled"
         physical = self.path == "/v1/upscale_physical"
-        if self.path != "/v1/upscale" and not physical:
+        if self.path != "/v1/upscale" and not physical and not tiled:
             self.close_connection = True
             self._json(404, {"error": f"unknown path {self.path}"})
             return
@@ -338,34 +395,61 @@ class _Handler(BaseHTTPRequestHandler):
                 raise ValueError(f"bad Content-Length {length}")
             body = self.rfile.read(length)
             body_read = True
+            overlap = self.server.meta.get("tile_overlap", 16)
             with np.load(io.BytesIO(body), allow_pickle=False) as npz:
+                if tiled:
+                    physical = "lr_uvw" in npz.files
+                    if "overlap" in npz.files:
+                        overlap = int(npz["overlap"])
                 if physical:
                     lr, z = self._physical_inputs(npz)
                 else:
                     lr = np.asarray(npz["lr"], np.float32)
                     z = np.asarray(npz["z"], np.float32)
-            squeeze = lr.ndim == 4
-            if squeeze:
-                lr, z = lr[None], z[None]
-            if lr.ndim != 5 or z.ndim != 5 or lr.shape[0] != z.shape[0]:
-                raise ValueError(
-                    f"lr/z must be (x,y,zl,C)/(X,Y,zl,1) or batched; got "
-                    f"{lr.shape} / {z.shape}"
-                )
+            if tiled:
+                if lr.ndim != 4 or z.ndim != 4:
+                    raise ValueError(
+                        f"/v1/upscale_tiled takes ONE volume (x,y,zl,C)/"
+                        f"(X,Y,zl,1); got {lr.shape} / {z.shape}"
+                    )
+            else:
+                squeeze = lr.ndim == 4
+                if squeeze:
+                    lr, z = lr[None], z[None]
+                if lr.ndim != 5 or z.ndim != 5 or lr.shape[0] != z.shape[0]:
+                    raise ValueError(
+                        f"lr/z must be (x,y,zl,C)/(X,Y,zl,1) or batched; "
+                        f"got {lr.shape} / {z.shape}"
+                    )
         except Exception as e:
             if not body_read:
                 self.close_connection = True
             self._json(400, {"error": str(e)})
             return
         try:
-            # batched client requests split into jobs so they micro-batch
-            # with everything else in flight (same shape key -> same call)
-            outs = self.server.batcher.submit_many(list(lr), list(z))
-            sr = np.stack(outs)
+            if tiled:
+                # tile size stays server-side so compile variants stay
+                # bounded; the tiles join the shared dispatcher stream
+                sr = tiled_upscale_via(
+                    self.server.batcher.submit_many, lr, z,
+                    self.server.meta["scale"],
+                    tile=self.server.meta.get("tile", 64), overlap=overlap,
+                )
+                squeeze = True
+                sr = sr[None]
+            else:
+                # batched client requests split into jobs so they
+                # micro-batch with everything else in flight (same shape
+                # key -> same call)
+                outs = self.server.batcher.submit_many(list(lr), list(z))
+                sr = np.stack(outs)
             if physical:  # back to m/s
                 from gan_sr_wind_field_tpu.data.transform import _stat
 
                 sr = sr * _stat(self.server.meta["norm_stats"], "uvw_max")
+        except ValueError as e:
+            self._json(400, {"error": str(e)})
+            return
         except Exception as e:
             self._json(500, {"error": str(e)})
             return
@@ -385,7 +469,7 @@ class WindFieldServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, addr, backend, max_batch=128, max_wait_ms=5.0,
-                 pad_pow2=True, log=None):
+                 pad_pow2=True, log=None, tile=64, tile_overlap=16):
         super().__init__(addr, _Handler)
         self.batcher = MicroBatcher(
             backend, max_batch=max_batch, max_wait_ms=max_wait_ms,
@@ -405,6 +489,15 @@ class WindFieldServer(ThreadingHTTPServer):
             # let clients recover physical units (data/transform.py)
             "norm_stats": stats,
             "lr_channels": getattr(backend, "lr_channels", None),
+            # /v1/upscale_tiled geometry (LR pixels). Tile size is fixed
+            # server-side so compile variants stay bounded; overlap is
+            # only a coordinate choice, so requests may override it. An
+            # oversized default overlap degrades to the library tier's
+            # 25% ratio (tile 64 / overlap 16) instead of 400-ing every
+            # default-overlap request on small-tile deployments.
+            "tile": int(tile),
+            "tile_overlap": int(tile_overlap) if tile_overlap < tile
+                            else max(int(tile) // 4, 0),
         }
 
     def close(self) -> None:
@@ -437,7 +530,8 @@ def warmup(backend, lr_shape, z_shape, batch_sizes, log=None) -> None:
 def serve(backend, host: str = "127.0.0.1", port: int = 0,
           max_batch: int = 128, max_wait_ms: float = 5.0,
           pad_pow2: bool = True, log=None,
-          block: bool = False) -> WindFieldServer:
+          block: bool = False, tile: int = 64,
+          tile_overlap: int = 16) -> WindFieldServer:
     """Start serving ``backend`` (WindFieldSR or ExportedSR).
 
     ``block=False`` runs the accept loop in a daemon thread and returns
@@ -450,6 +544,7 @@ def serve(backend, host: str = "127.0.0.1", port: int = 0,
     srv = WindFieldServer(
         (host, port), backend, max_batch=max_batch,
         max_wait_ms=max_wait_ms, pad_pow2=pad_pow2, log=log,
+        tile=tile, tile_overlap=tile_overlap,
     )
     if block:
         import signal
@@ -488,6 +583,12 @@ def main(argv=None) -> int:
     p.add_argument("--warmup", metavar="B1,B2,...", default="",
                    help="pre-compile the artifact at these batch sizes "
                         "before accepting traffic")
+    p.add_argument("--tile", type=int, default=0,
+                   help="/v1/upscale_tiled tile size in LR pixels; "
+                        "defaults to the artifact's static LR extent "
+                        "(export artifacts are batch-polymorphic but "
+                        "spatially static, so only that size can run)")
+    p.add_argument("--tile-overlap", type=int, default=16)
     args = p.parse_args(argv)
 
     import os
@@ -510,11 +611,14 @@ def main(argv=None) -> int:
             [int(b) for b in args.warmup.split(",")],
             log=logging.getLogger("windsr-serve"),
         )
+    # export artifacts are spatially static: every tile must run at the
+    # baked LR extent, so that's the only usable default tile size
+    tile = args.tile if args.tile > 0 else int(backend.header["lr_shape"][1])
     print(f"serving {args.artifact} (scale {backend.scale}) on "
-          f"{args.host}:{args.port}")
+          f"{args.host}:{args.port} (tile {tile})")
     serve(backend, host=args.host, port=args.port,
           max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
-          block=True)
+          block=True, tile=tile, tile_overlap=args.tile_overlap)
     return 0
 
 

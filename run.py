@@ -313,12 +313,14 @@ def main(argv=None):
                     (patch, patch, g.number_of_z_layers, 1),
                     sizes, log=status,
                 )
+            lr_tile = patch // cfg.scale
             status.info(
                 f"serving on 0.0.0.0:{args.serve} "
-                f"(POST /v1/upscale, GET /v1/health)"
+                f"(POST /v1/upscale[_physical|_tiled], GET /v1/health; "
+                f"tile {lr_tile} LR px)"
             )
             serve(sr, host="0.0.0.0", port=args.serve, log=status,
-                  block=True)
+                  block=True, tile=lr_tile)
         return
 
     print("nothing to do: pass --train, --test, --use, --download, "

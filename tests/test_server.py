@@ -376,3 +376,148 @@ def test_http_upscale_physical_without_stats_is_400(http_server, rng):
         _post(f"{url}/v1/upscale_physical", lr_uvw=lr_uvw, z=z)
     assert ei.value.code == 400
     assert "norm_stats" in ei.value.read().decode()
+
+
+# ----------------------------------------------------- tiled HTTP endpoint
+class _FakeSRBackend:
+    """Pointwise-linear SR fake: nearest-up(lr[..., :3] * 2) at scale 4.
+
+    Per-LR-pixel, so every tile computes identical values on overlaps and
+    the cosine blend must reconstruct the map EXACTLY (the weights form a
+    partition of unity over identical contributions)."""
+
+    scale = 4
+
+    def __init__(self):
+        self.calls = []
+
+    def upscale(self, lr, z):
+        assert lr.ndim == 5 and z.ndim == 5 and lr.shape[0] == z.shape[0]
+        self.calls.append(lr.shape[0])
+        up = np.repeat(np.repeat(lr[..., :3] * 2.0, 4, axis=1), 4, axis=2)
+        return up.astype(np.float32)
+
+
+def _fake_sr_expected(lr):
+    return np.repeat(np.repeat(lr[..., :3] * 2.0, 4, axis=0),
+                     4, axis=1).astype(np.float32)
+
+
+def test_tiled_upscale_via_exact_for_linear_map(rng):
+    from gan_sr_wind_field_tpu.eval.server import tiled_upscale_via
+
+    calls = []
+
+    def submit_many(lrs, zs):
+        assert len(lrs) == len(zs)
+        calls.append(len(lrs))
+        return [_fake_sr_expected(l) for l in lrs]
+
+    lr = rng.standard_normal((10, 7, 4, 4)).astype(np.float32)
+    z = rng.standard_normal((40, 28, 4, 1)).astype(np.float32)
+    out = tiled_upscale_via(submit_many, lr, z, 4, tile=4, overlap=2)
+    assert out.shape == (40, 28, 4, 3)
+    np.testing.assert_allclose(out, _fake_sr_expected(lr), rtol=1e-5,
+                               atol=1e-6)
+    # all tiles must go through ONE submit_many call so they stack with
+    # everything else in flight (X: {0,2,4,6} x Y: {0,2,3} = 12 tiles)
+    assert calls == [12]
+
+
+def test_tiled_upscale_via_rejects_bad_overlap(rng):
+    from gan_sr_wind_field_tpu.eval.server import tiled_upscale_via
+
+    lr = rng.standard_normal((10, 7, 4, 4)).astype(np.float32)
+    z = rng.standard_normal((40, 28, 4, 1)).astype(np.float32)
+    with pytest.raises(ValueError, match="overlap"):
+        tiled_upscale_via(lambda a, b: a, lr, z, 4, tile=4, overlap=4)
+
+
+@pytest.fixture()
+def tiled_fake_server():
+    be = _FakeSRBackend()
+    srv = serve(be, host="127.0.0.1", port=0, max_batch=8,
+                max_wait_ms=5.0, tile=4, tile_overlap=2)
+    host, port = srv.server_address
+    yield f"http://{host}:{port}", be
+    srv.close()
+
+
+def test_http_tiled_roundtrip(tiled_fake_server, rng):
+    url, _ = tiled_fake_server
+    h = _get_json(f"{url}/v1/health")
+    assert h["tile"] == 4 and h["tile_overlap"] == 2
+    lr = rng.standard_normal((10, 6, 4, 4)).astype(np.float32)
+    z = rng.standard_normal((40, 24, 4, 1)).astype(np.float32)
+    out = _post(f"{url}/v1/upscale_tiled", lr=lr, z=z)["sr"]
+    assert out.shape == (40, 24, 4, 3)
+    np.testing.assert_allclose(out, _fake_sr_expected(lr), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_http_tiled_overlap_override(tiled_fake_server, rng):
+    """Clients may pick the overlap (a coordinate choice); the linear map
+    stays exact at ANY valid overlap, and an invalid one is a clean 400."""
+    url, _ = tiled_fake_server
+    lr = rng.standard_normal((9, 5, 4, 4)).astype(np.float32)
+    z = rng.standard_normal((36, 20, 4, 1)).astype(np.float32)
+    out = _post(f"{url}/v1/upscale_tiled", lr=lr, z=z,
+                overlap=np.int64(3))["sr"]
+    np.testing.assert_allclose(out, _fake_sr_expected(lr), rtol=1e-5,
+                               atol=1e-6)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{url}/v1/upscale_tiled", lr=lr, z=z, overlap=np.int64(4))
+    assert ei.value.code == 400
+    assert "overlap" in ei.value.read().decode()
+
+
+def test_oversized_default_overlap_clamps_to_quarter_tile(rng):
+    """run.py serves with tile = training LR extent (16 at scale 4, 4 for
+    tiny configs) but the overlap default is 16 — an oversized default
+    must degrade to the library tier's 25% ratio rather than 400 every
+    default-overlap request."""
+    be = _FakeSRBackend()
+    srv = serve(be, host="127.0.0.1", port=0, max_batch=8,
+                max_wait_ms=5.0, tile=4, tile_overlap=16)
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        assert _get_json(f"{url}/v1/health")["tile_overlap"] == 1
+        lr = rng.standard_normal((9, 5, 4, 4)).astype(np.float32)
+        z = rng.standard_normal((36, 20, 4, 1)).astype(np.float32)
+        out = _post(f"{url}/v1/upscale_tiled", lr=lr, z=z)["sr"]
+        np.testing.assert_allclose(out, _fake_sr_expected(lr), rtol=1e-5,
+                                   atol=1e-6)
+    finally:
+        srv.close()
+
+
+def test_http_tiled_rejects_batched_input(tiled_fake_server, rng):
+    url, _ = tiled_fake_server
+    lr = rng.standard_normal((2, 8, 8, 4, 4)).astype(np.float32)
+    z = rng.standard_normal((2, 32, 32, 4, 1)).astype(np.float32)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(f"{url}/v1/upscale_tiled", lr=lr, z=z)
+    assert ei.value.code == 400
+    assert "ONE volume" in ei.value.read().decode()
+
+
+def test_http_tiled_matches_library_tiled(rng):
+    """Daemon tiling (host-side blend over the shared dispatcher stream)
+    must match WindFieldSR.upscale_tiled (device-resident pipeline) — same
+    tile coordinates + raised-cosine window by construction."""
+    from test_serve import _make_sr
+
+    sr, _ = _make_sr()
+    srv = serve(sr, host="127.0.0.1", port=0, max_batch=8,
+                max_wait_ms=5.0, tile=4, tile_overlap=2)
+    try:
+        host, port = srv.server_address
+        lr = rng.standard_normal((6, 6, 4, 4)).astype(np.float32) * 0.1
+        z = rng.standard_normal((24, 24, 4, 1)).astype(np.float32)
+        out = _post(f"http://{host}:{port}/v1/upscale_tiled",
+                    lr=lr, z=z)["sr"]
+        want = sr.upscale_tiled(lr, z, tile=4, overlap=2)
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+    finally:
+        srv.close()
