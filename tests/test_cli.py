@@ -180,6 +180,25 @@ def test_train_cli_smoke(tmp_path):
             served = np.load(io.BytesIO(r.read()))["sr"]
         assert served.shape == (X * s, Y * s, zl, 3)
         assert np.all(np.isfinite(served))
+        # ---- /v1/upscale_tiled: run.py wires tile = training LR extent;
+        # an arbitrary non-tile-divisible extent must come back covered
+        assert health["tile"] == X
+        buf = io.BytesIO()
+        np.savez(
+            buf,
+            lr=rng.standard_normal((X + 3, Y + 2, zl, cin))
+            .astype(np.float32) * 0.1,
+            z=rng.standard_normal(((X + 3) * s, (Y + 2) * s, zl, 1))
+            .astype(np.float32),
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/upscale_tiled",
+            data=buf.getvalue(), method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            tiled = np.load(io.BytesIO(r.read()))["sr"]
+        assert tiled.shape == ((X + 3) * s, (Y + 2) * s, zl, 3)
+        assert np.all(np.isfinite(tiled))
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/v1/stats", timeout=30
         ) as r:
