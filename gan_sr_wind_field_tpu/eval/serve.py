@@ -97,7 +97,13 @@ class WindFieldSR:
         )
         example = gan.init_state(jax.random.key(0), lr_shape, hr_shape)
         state = ckpt.restore_checkpoint(checkpoint_path, example)
-        return cls(gan, state.params_G, norm_stats=norm_stats)
+        # deployment weights: prefer the EMA slot when the checkpoint
+        # carries one (same preference as run.py --use/--export/--serve;
+        # restore_checkpoint returns None unless real EMA weights were
+        # restored or seeded from the restored live weights)
+        params_G = (state.params_G_ema if state.params_G_ema is not None
+                    else state.params_G)
+        return cls(gan, params_G, norm_stats=norm_stats)
 
     def quantize(self, calib_lr, batch: int = 8):
         """Calibrate + enable the int8 HR-head serving path (ops/quant.py).
@@ -253,6 +259,14 @@ class WindFieldSR:
         X, Y = lr.shape[0], lr.shape[1]
         if X <= tile and Y <= tile:
             return self.upscale(lr, z_terrain)
+        if min(X, Y) < tile:
+            # one dim smaller than the tile: clamp so tile origins stay
+            # >= 0 (library callers own their compile-variant budget; the
+            # HTTP tier pads instead, server.py tiled_upscale_via). An
+            # overlap that no longer fits degrades to the 25% ratio.
+            tile = min(X, Y)
+            if overlap >= tile:
+                overlap = tile // 4
         step = tile - overlap
         if step <= 0:
             raise ValueError("overlap must be smaller than tile")

@@ -279,19 +279,33 @@ def tiled_upscale_via(submit_many, lr, z, scale: int, tile: int = 64,
     into the daemon's shared dispatcher stream.
 
     lr: (x, y, zl, C) model-space input; z: (x·s, y·s, zl, 1).
-    ``tile``/``overlap`` in LR pixels; tile is clamped to the volume.
+    ``tile``/``overlap`` in LR pixels. The tile size is NEVER adapted to
+    the request: every tensor handed to ``submit_many`` is exactly
+    (tile, tile, zl, C), so client-chosen extents cannot mint new jit
+    shapes (each new shape is a minutes-long remote compile that stalls
+    the single dispatcher for ALL in-flight traffic). Volumes smaller
+    than the tile in either dim are edge-padded up to it and the output
+    is cropped back.
     """
-    X, Y = lr.shape[0], lr.shape[1]
-    tile = min(int(tile), X, Y)
-    if X <= tile and Y <= tile:
-        return submit_many([lr], [z])[0]
+    tile = int(tile)
     if not 0 <= overlap < tile:
         raise ValueError(f"overlap must be in [0, tile); got {overlap} "
                          f"with tile {tile}")
     s = int(scale)
+    X, Y = lr.shape[0], lr.shape[1]
+    pad_x, pad_y = max(0, tile - X), max(0, tile - Y)
+    if pad_x or pad_y:
+        lr = np.pad(lr, ((0, pad_x), (0, pad_y), (0, 0), (0, 0)),
+                    mode="edge")
+        z = np.pad(z, ((0, pad_x * s), (0, pad_y * s), (0, 0), (0, 0)),
+                   mode="edge")
+    Xp, Yp = lr.shape[0], lr.shape[1]
+    if Xp <= tile and Yp <= tile:
+        sr = np.asarray(submit_many([lr], [z])[0])
+        return sr[: X * s, : Y * s]
     step = tile - overlap
-    xs = sorted({min(x0, X - tile) for x0 in range(0, X, step)})
-    ys = sorted({min(y0, Y - tile) for y0 in range(0, Y, step)})
+    xs = sorted({min(x0, Xp - tile) for x0 in range(0, Xp, step)})
+    ys = sorted({min(y0, Yp - tile) for y0 in range(0, Yp, step)})
     coords = [(x0, y0) for x0 in xs for y0 in ys]
     srs = submit_many(
         [lr[x0:x0 + tile, y0:y0 + tile] for x0, y0 in coords],
@@ -302,13 +316,13 @@ def tiled_upscale_via(submit_many, lr, z, scale: int, tile: int = 64,
     t = (np.arange(tile * s) + 0.5) / (tile * s)
     win1d = 0.5 - 0.5 * np.cos(2 * np.pi * t)
     win = np.outer(win1d, win1d)[:, :, None, None].astype(np.float32)
-    out = np.zeros((X * s, Y * s, lr.shape[2], 3), np.float32)
-    weight = np.zeros((X * s, Y * s, 1, 1), np.float32)
+    out = np.zeros((Xp * s, Yp * s, lr.shape[2], 3), np.float32)
+    weight = np.zeros((Xp * s, Yp * s, 1, 1), np.float32)
     for (x0, y0), sr_t in zip(coords, srs):
         sl = np.s_[x0 * s:(x0 + tile) * s, y0 * s:(y0 + tile) * s]
         out[sl] += np.asarray(sr_t) * win
         weight[sl] += win
-    return out / np.maximum(weight, 1e-12)
+    return (out / np.maximum(weight, 1e-12))[: X * s, : Y * s]
 
 
 # ---------------------------------------------------------------- HTTP tier

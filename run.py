@@ -250,13 +250,17 @@ def main(argv=None):
             )
 
             params_G, _, _ = load_reference_checkpoint(gan.G, path)
+            # drop the EMA slot: under g_ema_decay>0 `example` carries a
+            # copy of the RANDOM init there, and the EMA preference below
+            # would serve that instead of the loaded weights
             state = example.replace(
-                params_G=jax.tree.map(jax.numpy.asarray, params_G)
+                params_G=jax.tree.map(jax.numpy.asarray, params_G),
+                params_G_ema=None,
             )
         elif path:
             state = ckpt.restore_checkpoint(path, example)
         else:
-            state = example
+            state = example.replace(params_G_ema=None)
             if args.export or args.serve is not None:
                 status.warning(
                     "no generator_load_path set — exporting/serving "

@@ -58,10 +58,16 @@ def main():
     z1 = (np.cumsum(1.0 + rng.random((p * s, p * s, zl, 1)), axis=2)
           * 10.0).astype(np.float32)
 
-    # bound compile variants: full batches + the pow2 pads a B-job split
-    # can land on during ramp/drain
-    sizes = sorted({max_batch, batch,
-                    1 << (batch - 1).bit_length()})
+    # bound compile variants: the dispatcher mixes jobs from all clients,
+    # so a grab can land on ANY count in (batch, max_batch] — warm every
+    # pow2 pad in that range (plus batch itself), or an online remote
+    # compile (minutes) lands inside the measured window
+    sizes = {batch, max_batch}
+    b = 1 << (batch - 1).bit_length() if batch > 1 else 1
+    while b <= max_batch:
+        sizes.add(b)
+        b *= 2
+    sizes = sorted(sizes)
     print(f"warming batch sizes {sizes} (remote compiles take minutes)",
           file=sys.stderr)
     warmup(sr, lr1.shape, z1.shape, sizes)

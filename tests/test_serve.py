@@ -215,3 +215,47 @@ def test_upscale_physical_requires_stats(rng):
     z, zag, u, v, w, p = _raw_fields(rng)
     with pytest.raises(ValueError, match="norm_stats"):
         sr.upscale_physical(np.stack([u, v, w], -1)[::4, ::4], z)
+
+
+def test_tiled_one_dim_smaller_than_tile(rng):
+    """A volume narrower than the tile in ONE dim must tile cleanly (the
+    tile clamps to the volume so origins stay >= 0) instead of producing
+    negative dynamic-slice origins."""
+    sr, _ = _make_sr()
+    lr = rng.standard_normal((8, 3, 4, 4)).astype(np.float32) * 0.1
+    zt = rng.standard_normal((32, 12, 4, 1)).astype(np.float32)
+    direct = sr.upscale(lr, zt)
+    tiled = sr.upscale_tiled(lr, zt, tile=4, overlap=2)
+    assert tiled.shape == direct.shape
+    err = np.abs(tiled - direct)
+    assert np.all(np.isfinite(tiled))
+    assert np.median(err) < 0.25 * np.std(np.asarray(direct))
+    # an overlap that no longer fits the clamped tile degrades, not crashes
+    tiled2 = sr.upscale_tiled(lr, zt, tile=4, overlap=3)
+    assert tiled2.shape == direct.shape and np.all(np.isfinite(tiled2))
+
+
+def test_from_checkpoint_prefers_ema(tmp_path, rng):
+    """Deployment weights are the EMA slot when the checkpoint carries one
+    (same preference as run.py --use/--export/--serve), so interp/serving
+    built through from_checkpoint matches direct deployment."""
+    from test_train_step import make_batch
+
+    cfg = tiny_cfg(g_ema_decay=0.9)
+    x = np.arange(16, dtype=np.float32) * 150
+    gan = WindFieldGAN(cfg, x, x)
+    state = gan.init_state(
+        jax.random.key(0), (2, 4, 4, 4, 4), (2, 16, 16, 4, 3)
+    )
+    lr, hr, z = make_batch(rng)
+    for _ in range(2):  # EMA and live weights diverge
+        state, _ = gan.train_step(state, lr, hr, z)
+    path = ckpt.save_checkpoint(str(tmp_path), state)
+
+    sr = WindFieldSR.from_checkpoint(cfg, path, x, x)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        sr.params_G, state.params_G_ema,
+    )

@@ -521,3 +521,45 @@ def test_http_tiled_matches_library_tiled(rng):
         np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
     finally:
         srv.close()
+
+
+def test_tiled_upscale_via_pads_small_dims_to_tile(rng):
+    """Client extents smaller than the server tile must NOT change the
+    submitted tensor shape (each new jit shape is a minutes-long remote
+    compile that stalls the shared dispatcher): the volume is edge-padded
+    up to the configured tile and the output cropped back."""
+    from gan_sr_wind_field_tpu.eval.server import tiled_upscale_via
+
+    shapes = []
+
+    def submit_many(lrs, zs):
+        shapes.extend(l.shape for l in lrs)
+        return [_fake_sr_expected(l) for l in lrs]
+
+    # one dim below the tile
+    lr = rng.standard_normal((10, 3, 4, 4)).astype(np.float32)
+    z = rng.standard_normal((40, 12, 4, 1)).astype(np.float32)
+    out = tiled_upscale_via(submit_many, lr, z, 4, tile=4, overlap=2)
+    assert out.shape == (40, 12, 4, 3)
+    np.testing.assert_allclose(out, _fake_sr_expected(lr), rtol=1e-5,
+                               atol=1e-6)
+    # both dims below the tile (single padded submit)
+    lr2 = rng.standard_normal((3, 2, 4, 4)).astype(np.float32)
+    z2 = rng.standard_normal((12, 8, 4, 1)).astype(np.float32)
+    out2 = tiled_upscale_via(submit_many, lr2, z2, 4, tile=4, overlap=2)
+    assert out2.shape == (12, 8, 4, 3)
+    np.testing.assert_allclose(out2, _fake_sr_expected(lr2), rtol=1e-5,
+                               atol=1e-6)
+    assert shapes and all(s == (4, 4, 4, 4) for s in shapes)
+
+
+def test_http_tiled_small_volume_roundtrip(tiled_fake_server, rng):
+    """A sub-tile request is served (padded server-side), not 400d, and
+    the backend only ever sees the warmed tile shape."""
+    url, be = tiled_fake_server
+    lr = rng.standard_normal((3, 2, 4, 4)).astype(np.float32)
+    z = rng.standard_normal((12, 8, 4, 1)).astype(np.float32)
+    out = _post(f"{url}/v1/upscale_tiled", lr=lr, z=z)["sr"]
+    assert out.shape == (12, 8, 4, 3)
+    np.testing.assert_allclose(out, _fake_sr_expected(lr), rtol=1e-5,
+                               atol=1e-6)
