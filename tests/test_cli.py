@@ -320,3 +320,69 @@ def test_serve_int8_cli_wiring(tmp_path, monkeypatch):
     sr = captured["backend"]
     assert sr.qhead is not None  # calibration really ran
     assert sr.qhead.wq_main.dtype.name == "int8"
+
+
+def test_export_pth_under_ema_config_serves_loaded_weights(tmp_path):
+    """A reference .pth warm-start under g_ema_decay>0 must deploy the
+    LOADED weights: init_state seeds the EMA slot from the RANDOM init,
+    and the EMA inference preference must not pick that over the imported
+    checkpoint (run.py drops the stale slot on the .pth branch)."""
+    import numpy as np
+
+    env = dict(os.environ)
+    env["WINDSR_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    sys.path.insert(0, REPO)
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from gan_sr_wind_field_tpu.config import load_config
+        from gan_sr_wind_field_tpu.eval.export import load_exported
+        from gan_sr_wind_field_tpu.eval.serve import WindFieldSR
+        from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+        from gan_sr_wind_field_tpu.utils.torch_import import (
+            load_reference_checkpoint,
+            save_reference_checkpoint,
+        )
+
+        pth = str(tmp_path / "G_10.pth")
+        cfg_src = open(os.path.join(REPO, "configs", "tiny.ini")).read()
+        cfg_src = cfg_src.replace("root_path = ./runs_root",
+                                  f"root_path = {tmp_path}/runs_root")
+        cfg_src = cfg_src.replace("data_root = ./data",
+                                  f"data_root = {tmp_path}/data")
+        cfg_src = cfg_src.replace("[ENV]",
+                                  f"[ENV]\ngenerator_load_path = {pth}")
+        cfg_src = cfg_src.replace("[TRAINING]",
+                                  "[TRAINING]\ng_ema_decay = 0.9")
+        cfg_path = tmp_path / "tiny_ema.ini"
+        cfg_path.write_text(cfg_src)
+
+        cfg = load_config(str(cfg_path))
+        x = np.arange(16, dtype=np.float32) * 150
+        gan = WindFieldGAN(cfg, x, x)
+        st = gan.init_state(jax.random.key(7), (1, 4, 4, 4, 4),
+                            (1, 16, 16, 4, 3))
+        save_reference_checkpoint(pth, st.params_G, gan.G)
+
+        artifact = str(tmp_path / "gen_ema.wsrx")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "run.py"),
+             "--export", artifact, "--synthetic", "--cfg", str(cfg_path)],
+            cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=900,
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+
+        rng = np.random.default_rng(11)
+        lr = rng.standard_normal((4, 4, 4, 4)).astype(np.float32) * 0.1
+        zt = rng.standard_normal((16, 16, 4, 1)).astype(np.float32)
+        got = load_exported(artifact).upscale(lr, zt)
+        params_G, _, _ = load_reference_checkpoint(gan.G, pth)
+        want = WindFieldSR(gan, jax.tree.map(np.asarray, params_G)).upscale(
+            lr, zt
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    finally:
+        sys.path.remove(REPO)
