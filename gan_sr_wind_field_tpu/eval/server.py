@@ -355,6 +355,7 @@ class _Handler(BaseHTTPRequestHandler):
                 "lr_channels": srv.meta.get("lr_channels"),
                 "tile": srv.meta.get("tile"),
                 "tile_overlap": srv.meta.get("tile_overlap"),
+                "allowed_shapes": srv.meta.get("allowed_shapes"),
             })
         elif self.path == "/v1/stats":
             # snapshot under the lock, write OUTSIDE it: a slow client must
@@ -452,6 +453,15 @@ class _Handler(BaseHTTPRequestHandler):
                 squeeze = True
                 sr = sr[None]
             else:
+                allowed = self.server.meta.get("allowed_shapes")
+                if (allowed is not None
+                        and tuple(lr.shape[1:]) not in allowed):
+                    raise ValueError(
+                        f"lr sample shape {tuple(lr.shape[1:])} not "
+                        f"served: this deployment pins input shapes to "
+                        f"{allowed} (use /v1/upscale_tiled for other "
+                        f"extents)"
+                    )
                 # batched client requests split into jobs so they
                 # micro-batch with everything else in flight (same shape
                 # key -> same call)
@@ -483,7 +493,8 @@ class WindFieldServer(ThreadingHTTPServer):
     daemon_threads = True
 
     def __init__(self, addr, backend, max_batch=128, max_wait_ms=5.0,
-                 pad_pow2=True, log=None, tile=64, tile_overlap=16):
+                 pad_pow2=True, log=None, tile=64, tile_overlap=16,
+                 allowed_shapes=None):
         super().__init__(addr, _Handler)
         self.batcher = MicroBatcher(
             backend, max_batch=max_batch, max_wait_ms=max_wait_ms,
@@ -512,6 +523,16 @@ class WindFieldServer(ThreadingHTTPServer):
             "tile": int(tile),
             "tile_overlap": int(tile_overlap) if tile_overlap < tile
                             else max(int(tile) // 4, 0),
+            # optional deployment pin: when set, /v1/upscale[_physical]
+            # rejects LR sample shapes outside this set instead of jitting
+            # a new program per client-invented shape (each compile is
+            # minutes over a remote TPU tunnel and stalls the dispatcher).
+            # /v1/upscale_tiled is exempt — it only ever submits the
+            # server-chosen tile shape.
+            "allowed_shapes": (
+                sorted({tuple(int(d) for d in s) for s in allowed_shapes})
+                if allowed_shapes is not None else None
+            ),
         }
 
     def close(self) -> None:
@@ -545,7 +566,7 @@ def serve(backend, host: str = "127.0.0.1", port: int = 0,
           max_batch: int = 128, max_wait_ms: float = 5.0,
           pad_pow2: bool = True, log=None,
           block: bool = False, tile: int = 64,
-          tile_overlap: int = 16) -> WindFieldServer:
+          tile_overlap: int = 16, allowed_shapes=None) -> WindFieldServer:
     """Start serving ``backend`` (WindFieldSR or ExportedSR).
 
     ``block=False`` runs the accept loop in a daemon thread and returns
@@ -559,6 +580,7 @@ def serve(backend, host: str = "127.0.0.1", port: int = 0,
         (host, port), backend, max_batch=max_batch,
         max_wait_ms=max_wait_ms, pad_pow2=pad_pow2, log=log,
         tile=tile, tile_overlap=tile_overlap,
+        allowed_shapes=allowed_shapes,
     )
     if block:
         import signal

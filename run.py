@@ -42,6 +42,14 @@ def argv_to_cfg(argv=None):
                         "remote TPU compile costs minutes; without warmup "
                         "the first request at a new padded batch size pays "
                         "it online)")
+    p.add_argument("--serve_strict_shapes", action="store_true",
+                   help="with --serve: reject /v1/upscale requests whose "
+                        "LR sample shape differs from the training patch "
+                        "(each new shape jit-compiles a new program — "
+                        "minutes on a remote TPU — stalling all traffic); "
+                        "arbitrary extents stay available via "
+                        "/v1/upscale_tiled, which only submits the pinned "
+                        "tile shape")
     p.add_argument("--serve_int8", metavar="N", type=int, default=0,
                    help="with --serve: calibrate the int8 HR-head serving "
                         "path over N test-set samples before serving "
@@ -323,8 +331,14 @@ def main(argv=None):
                 f"(POST /v1/upscale[_physical|_tiled], GET /v1/health; "
                 f"tile {lr_tile} LR px)"
             )
+            allowed = None
+            if args.serve_strict_shapes:
+                allowed = [(lr_tile, lr_tile, g.number_of_z_layers,
+                            cfg.lr_num_channels)]
+                status.info(f"strict shapes: /v1/upscale pinned to "
+                            f"{allowed}")
             serve(sr, host="0.0.0.0", port=args.serve, log=status,
-                  block=True, tile=lr_tile)
+                  block=True, tile=lr_tile, allowed_shapes=allowed)
         return
 
     print("nothing to do: pass --train, --test, --use, --download, "

@@ -563,3 +563,36 @@ def test_http_tiled_small_volume_roundtrip(tiled_fake_server, rng):
     assert out.shape == (12, 8, 4, 3)
     np.testing.assert_allclose(out, _fake_sr_expected(lr), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_strict_shapes_pins_upscale_but_not_tiled(rng):
+    """allowed_shapes rejects off-shape /v1/upscale requests (each new
+    shape would jit a new program) while /v1/upscale_tiled still serves
+    ANY extent — it only ever submits the server-chosen tile shape."""
+    be = _FakeSRBackend()
+    srv = serve(be, host="127.0.0.1", port=0, max_batch=8,
+                max_wait_ms=5.0, tile=4, tile_overlap=2,
+                allowed_shapes=[(4, 4, 4, 4)])
+    try:
+        host, port = srv.server_address
+        url = f"http://{host}:{port}"
+        assert _get_json(f"{url}/v1/health")["allowed_shapes"] == [
+            [4, 4, 4, 4]
+        ]
+        lr = rng.standard_normal((4, 4, 4, 4)).astype(np.float32)
+        z = rng.standard_normal((16, 16, 4, 1)).astype(np.float32)
+        out = _post(f"{url}/v1/upscale", lr=lr, z=z)["sr"]
+        np.testing.assert_allclose(out, _fake_sr_expected(lr), rtol=1e-5,
+                                   atol=1e-6)
+        bad_lr = rng.standard_normal((5, 4, 4, 4)).astype(np.float32)
+        bad_z = rng.standard_normal((20, 16, 4, 1)).astype(np.float32)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{url}/v1/upscale", lr=bad_lr, z=bad_z)
+        assert ei.value.code == 400
+        assert "pins input shapes" in ei.value.read().decode()
+        # same extent through the tiled endpoint is served
+        out2 = _post(f"{url}/v1/upscale_tiled", lr=bad_lr, z=bad_z)["sr"]
+        np.testing.assert_allclose(out2, _fake_sr_expected(bad_lr),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        srv.close()
