@@ -28,6 +28,10 @@ Protocol (binary, numpy ``.npz`` both directions):
                        and ``z`` (X,Y,zl,1) or (n,X,Y,zl,1) — model
                        (normalized) space both directions
                        -> 200, npz with ``sr`` float32
+                       -> 400 when z's geometry is inconsistent with lr
+                       (expected (x*scale, y*scale, zl, 1)), or, on a
+                       strict-shape deployment (``allowed_shapes``), when
+                       the lr sample shape is not in the pinned set
     POST /v1/upscale_physical
                        body: npz with ``lr_uvw`` (…,x,y,zl,3) wind in
                        m/s, ``z`` (…,X,Y,zl[,1]) raw height, optional
@@ -46,7 +50,10 @@ Protocol (binary, numpy ``.npz`` both directions):
                        else in flight — and cosine-blends the seams
                        -> 200, npz ``sr`` covering the full volume
     GET  /v1/health    -> 200 JSON {status, scale, backend, norm_stats,
-                          lr_channels}
+                          lr_channels, tile, tile_overlap, allowed_shapes}
+                          — ``allowed_shapes`` is the strict-shape pin
+                          (list of lr sample shapes, or null when any
+                          shape is served)
     GET  /v1/stats     -> 200 JSON micro-batcher counters + request/batch
                           latency percentiles (p50/p95/p99 ms, recent
                           window)
@@ -436,6 +443,23 @@ class _Handler(BaseHTTPRequestHandler):
                         f"lr/z must be (x,y,zl,C)/(X,Y,zl,1) or batched; "
                         f"got {lr.shape} / {z.shape}"
                     )
+            # z geometry is fully determined by lr + the server scale —
+            # reject mismatches here (-> 400) instead of letting the
+            # backend trace error surface as an opaque 500. This also
+            # makes --serve_strict_shapes pin the z shape: allowed lr
+            # shapes + this consistency check leave exactly one z shape.
+            scale = self.server.meta.get("scale")
+            x, y, zl, _ = lr.shape[-4:]
+            zx, zy, zzl, zc = z.shape[-4:]
+            if zc != 1 or zzl != zl or (
+                scale and (zx != x * scale or zy != y * scale)
+            ):
+                raise ValueError(
+                    f"z sample shape {(zx, zy, zzl, zc)} inconsistent "
+                    f"with lr {(x, y, zl)} at scale {scale}: expected "
+                    f"({x * scale if scale else 'x*s'}, "
+                    f"{y * scale if scale else 'y*s'}, {zl}, 1)"
+                )
         except Exception as e:
             if not body_read:
                 self.close_connection = True
@@ -488,7 +512,18 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class WindFieldServer(ThreadingHTTPServer):
-    """HTTP server owning a MicroBatcher; see module docstring."""
+    """HTTP server owning a MicroBatcher; see module docstring.
+
+    ``allowed_shapes``: optional iterable of LR sample shapes
+    (x, y, zl, C). When set, /v1/upscale[_physical] 400s any request
+    whose lr sample shape is outside the set (strict-shape deployments —
+    each new shape costs a minutes-long remote jit compile);
+    /v1/upscale_tiled stays exempt since it only submits the server
+    tile shape. The pin is reported via /v1/health ``allowed_shapes``.
+    The z shape needs no separate pin: every request's z geometry is
+    validated against its lr + the server scale, which leaves exactly
+    one admissible z shape per allowed lr shape.
+    """
 
     daemon_threads = True
 
@@ -568,6 +603,10 @@ def serve(backend, host: str = "127.0.0.1", port: int = 0,
           block: bool = False, tile: int = 64,
           tile_overlap: int = 16, allowed_shapes=None) -> WindFieldServer:
     """Start serving ``backend`` (WindFieldSR or ExportedSR).
+
+    ``allowed_shapes`` (optional) pins /v1/upscale[_physical] to the
+    given LR sample shapes — see `WindFieldServer`; ``tile``/
+    ``tile_overlap`` set the /v1/upscale_tiled geometry.
 
     ``block=False`` runs the accept loop in a daemon thread and returns
     the server (``.server_address`` carries the bound port; ``.close()``

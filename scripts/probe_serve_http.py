@@ -59,11 +59,13 @@ def main():
           * 10.0).astype(np.float32)
 
     # bound compile variants: the dispatcher mixes jobs from all clients,
-    # so a grab can land on ANY count in (batch, max_batch] — warm every
-    # pow2 pad in that range (plus batch itself), or an online remote
-    # compile (minutes) lands inside the measured window
+    # and drain-remainder grabs can be SMALLER than batch (e.g. 3 jobs
+    # left pad to 4) as well as larger — warm EVERY pow2 pad from 1 up to
+    # max_batch (plus batch itself), or an online remote compile
+    # (minutes) lands inside the measured window. The small-batch
+    # compiles are cheap relative to one online compile skewing the run.
     sizes = {batch, max_batch}
-    b = 1 << (batch - 1).bit_length() if batch > 1 else 1
+    b = 1
     while b <= max_batch:
         sizes.add(b)
         b *= 2

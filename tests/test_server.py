@@ -277,6 +277,32 @@ def test_http_bad_payload_is_400(http_server):
     assert ei.value.code == 400
 
 
+def test_http_mismatched_z_is_400(http_server, rng):
+    """z geometry inconsistent with lr+scale must be a clear 400 at the
+    HTTP tier, not an opaque backend-trace 500 (advisor r2)."""
+    url, _ = http_server
+    lr, z = _sample(rng)
+    for bad_z in (
+        z[: lr.shape[0] * 2],          # wrong horizontal extent (8 != 16)
+        z[:, :, :2],                   # wrong zl
+        np.repeat(z, 2, axis=-1),      # wrong channel count
+    ):
+        req = urllib.request.Request(
+            f"{url}/v1/upscale",
+            data=_npz_bytes(lr=lr, z=bad_z), method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30.0)
+        assert ei.value.code == 400
+        assert b"inconsistent" in ei.value.read()
+
+
+def _npz_bytes(**arrays):
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
 def test_http_oversize_content_length_closes_connection(http_server):
     """A 400 sent before the body was read must close the connection —
     keeping it open would desync HTTP/1.1 keep-alive (the unread body
