@@ -4,6 +4,9 @@ subprocess on the tiny config (the reference's local smoke run, SURVEY §4)."""
 import os
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute integration tier (VERDICT r2 weak 5)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

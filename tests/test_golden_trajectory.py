@@ -20,6 +20,8 @@ from test_train_step import make_batch, tiny_cfg
 
 from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
 
+pytestmark = pytest.mark.slow  # multi-minute integration tier (VERDICT r2 weak 5)
+
 # Recorded from the shipped implementation (seed 0 everywhere). The G/D
 # alternation (period=2, ratio=1) makes its 1,4,5,8 G steps and 2,3,6,7 D
 # steps; each entry is G "total" + "D_train_loss" (exactly one is nonzero

@@ -14,6 +14,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute integration tier (VERDICT r2 weak 5)
+
 
 def _free_port() -> int:
     with socket.socket() as s:

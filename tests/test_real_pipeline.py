@@ -24,6 +24,8 @@ from gan_sr_wind_field_tpu.utils.logging import setup_loggers
 
 from test_downloader_integration import _write_fake_nc
 
+pytestmark = pytest.mark.slow  # multi-minute integration tier (VERDICT r2 weak 5)
+
 # raw grid chosen so the fixed reference crop (x 4:-4, y 4:-3) yields a
 # 16x16 HR plane — big enough for scale-4 training with slice_size=16
 NX_RAW, NY_RAW, NZ = 24, 23, 3
