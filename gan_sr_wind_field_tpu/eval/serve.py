@@ -56,7 +56,8 @@ class WindFieldSR:
             _g.include_pressure, _g.include_z_channel,
             _g.include_above_ground_channel,
         )
-        self.qhead = None  # set by quantize()
+        self.qhead = None   # set by quantize()
+        self.qtrunk = None  # set by quantize_trunk()
         self._vol_sharding = None
         if mesh is not None:
             from gan_sr_wind_field_tpu.parallel import volume_sharding
@@ -172,15 +173,85 @@ class WindFieldSR:
         self._chunk_cache = {}  # tiled programs must re-close over qhead
         return self.qhead
 
+    def quantize_trunk(self, calib_lr, batch: int = 8):
+        """Calibrate + enable the int8 TRUNK serving path
+        (ops/quant_trunk.py; VERDICT r2 weak 2 measurement).
+
+        Same calibration contract as `quantize` (representative LR
+        fields, per-channel abs-max). Composes with `quantize`: with both
+        enabled the whole serving FLOPs majority runs int8. Measured on
+        real TPU this LOSES to the bf16 Pallas fused trunk
+        (scripts/probe_quant_trunk.py, docs/PERF.md) — the lane-bound
+        gc=32 growth convs gain only ~1.17x from int8 at the XLA level
+        while the Pallas kernel's z-im2col packing is worth more — so it
+        is an opt-in measurement/latency path, never the default.
+        """
+        import jax.numpy as jnp
+
+        from gan_sr_wind_field_tpu.models.fused_apply import (
+            fused_supported,
+            trunk_input_features,
+        )
+        from gan_sr_wind_field_tpu.ops.quant_trunk import (
+            quantize_trunk as _quantize_trunk,
+            trunk_reference_amax,
+        )
+
+        if self._vol_sharding is not None:
+            raise ValueError(
+                "quantized serving is a single-device path; use tiling "
+                "instead of a spatial mesh"
+            )
+        G = self.gan._G_nograd
+        if not (self.gan.use_fused_trunk
+                and fused_supported(self.gan.G,
+                                    np.asarray(calib_lr).shape if
+                                    np.asarray(calib_lr).ndim == 5 else
+                                    (1,) + np.asarray(calib_lr).shape)
+                and not self.gan._fused_shard_map):
+            raise ValueError(
+                "quantized serving needs the single-device fused-trunk "
+                "path (use_fused_trunk=True, fused-supported geometry, "
+                "no model/spatial mesh)"
+            )
+        calib_lr = np.asarray(calib_lr, np.float32)
+        if calib_lr.ndim == 4:
+            calib_lr = calib_lr[None]
+        geom = dict(
+            num_rrdb=G.num_rrdb, num_convs=G.num_rdb_convs,
+            lff_kern=G.lff_kern_size, rdb_scale=G.rdb_residual_scaling,
+            rrdb_scale=G.rrdb_residual_scaling,
+            negative_slope=G.negative_slope,
+        )
+        probe = jax.jit(lambda p, lr: trunk_reference_amax(
+            p, trunk_input_features(G, p, lr), **geom
+        )[1:])
+        ax = ac = None
+        for i in range(0, calib_lr.shape[0], batch):
+            chunk = calib_lr[i: i + batch]
+            if chunk.shape[0] < batch:  # pad -> one compiled probe shape
+                pad = batch - chunk.shape[0]  # (amax ignores duplicates)
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            a_x, a_c = (np.asarray(v) for v in probe(self.params_G, chunk))
+            ax = a_x if ax is None else np.maximum(ax, a_x)
+            ac = a_c if ac is None else np.maximum(ac, a_c)
+        self.qtrunk = jax.tree.map(
+            jnp.asarray,
+            _quantize_trunk(self.params_G, ax, ac, **geom),
+        )
+        self._chunk_cache = {}  # tiled programs must re-close over qtrunk
+        return self.qtrunk
+
     def dequantize(self):
         """Back to the exact (bf16/f32) serving forward."""
         self.qhead = None
+        self.qtrunk = None
         self._chunk_cache = {}
 
     def _gen(self, params_G, lr, z_terrain):
-        if self.qhead is not None:
+        if self.qhead is not None or self.qtrunk is not None:
             return self.gan.generate_quantized(
-                params_G, self.qhead, lr, z_terrain
+                params_G, self.qhead, lr, z_terrain, self.qtrunk
             )
         return self.gan.generate(params_G, lr, z_terrain)
 
@@ -323,11 +394,11 @@ class WindFieldSR:
 
         s = self.scale
         ts = tile * s
-        if self.qhead is not None:
-            qh = self.qhead
+        if self.qhead is not None or self.qtrunk is not None:
+            qh, qt = self.qhead, self.qtrunk
 
             def gen(p, lr, z):
-                return self.gan._generate_q(p, qh, lr, z)
+                return self.gan._generate_q(p, qh, lr, z, qt)
         else:
             gen = self.gan._generate
 

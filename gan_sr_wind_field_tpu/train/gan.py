@@ -416,11 +416,13 @@ class WindFieldGAN:
     def generate(self, params_G, lr, z):
         return self._jit_generate(params_G, lr, z)
 
-    def _generate_q(self, params_G, qhead, lr, z):
-        """Serving forward with the calibrated int8 HR head (ops/quant.py).
+    def _generate_q(self, params_G, qhead, lr, z, qtrunk=None):
+        """Serving forward with the calibrated int8 HR head (ops/quant.py)
+        and/or int8 trunk (ops/quant_trunk.py).
 
         Fused-trunk, single-device path only — produced by
-        WindFieldSR.quantize; training/validation numerics are untouched.
+        WindFieldSR.quantize[_trunk]; training/validation numerics are
+        untouched.
         """
         from gan_sr_wind_field_tpu.models.fused_apply import (
             fused_supported,
@@ -435,11 +437,11 @@ class WindFieldGAN:
             )
         return generate_fused(
             self._G_nograd, params_G, lr, z,
-            interpret=self._pallas_interpret, qhead=qhead,
+            interpret=self._pallas_interpret, qhead=qhead, qtrunk=qtrunk,
         )
 
-    def generate_quantized(self, params_G, qhead, lr, z):
-        return self._jit_generate_q(params_G, qhead, lr, z)
+    def generate_quantized(self, params_G, qhead, lr, z, qtrunk=None):
+        return self._jit_generate_q(params_G, qhead, lr, z, qtrunk)
 
     def _d_logits(self, params_D, batch_stats, xin, train_D, rng_key=None,
                   update_stats=False):
