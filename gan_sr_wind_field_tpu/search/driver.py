@@ -162,8 +162,15 @@ def run_trial(gan: WindFieldGAN, cfg, ds_train, ds_val, point, asha,
 
 def param_search(cfg, ds_train, ds_val, x, y, num_samples: int = 250,
                  shard_index: int = 0, num_shards: int = 1,
-                 out_path: Optional[str] = None):
-    """Run the sweep; writes JSONL of trial records + best point summary."""
+                 out_path: Optional[str] = None,
+                 grace_period: int = 1200, reduction_factor: int = 3):
+    """Run the sweep; writes JSONL of trial records + best point summary.
+
+    ``grace_period``/``reduction_factor`` default to the reference's ASHA
+    settings (param_search.py:298-303); reduced-budget sweeps (e.g.
+    grace 40, niter 400 — scripts/run_sweep_tpu.py) scale the rungs down
+    so population-scale promotion/stopping is exercised in minutes.
+    """
     status = logging.getLogger("status")
     if not (cfg.dataset_val and cfg.dataset_val.deterministic):
         status.warning(
@@ -180,6 +187,8 @@ def param_search(cfg, ds_train, ds_val, x, y, num_samples: int = 250,
     # reference's single Ray head (param_search.py:298-303)
     asha = ASHAScheduler(
         max_t=cfg.training.niter,
+        grace_period=grace_period,
+        reduction_factor=reduction_factor,
         share_dir=run_folder if num_shards > 1 else None,
         shard_index=shard_index,
     )

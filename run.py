@@ -69,6 +69,12 @@ def argv_to_cfg(argv=None):
     p.add_argument("--num_samples", type=int, default=250,
                    help="--param_search trial budget (reference "
                         "run.py:85-98 hardcodes 250)")
+    p.add_argument("--asha_grace", type=int, default=1200,
+                   help="--param_search ASHA grace period in iterations "
+                        "(reference param_search.py:300); lower it for "
+                        "reduced-budget sweeps")
+    p.add_argument("--asha_eta", type=int, default=3,
+                   help="--param_search ASHA reduction factor")
     p.add_argument("--slurm_array_id", type=int, default=1)
     p.add_argument("--loglevel", default="info")
     p.add_argument("--max_steps", type=int, default=None,
@@ -195,6 +201,8 @@ def main(argv=None):
                 int(_os.environ.get("N_SHARDS", "1")), 1
             ),
             num_shards=max(int(_os.environ.get("N_SHARDS", "1")), 1),
+            grace_period=args.asha_grace,
+            reduction_factor=args.asha_eta,
         )
         return
 
