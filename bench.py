@@ -223,17 +223,36 @@ def main(retry_reason=None):
     # v4-8 projection toward the >=20x target: measured per-chip throughput
     # x peak-FLOPs ratio (v4/v5e bf16) x 4 chips x DP efficiency. A "v4-8"
     # slice is 8 TensorCores = 4 megacore chips (PEAK_FLOPS["v4"] is
-    # per-chip, both cores). The DP efficiency is an estimate (0.95): pure
-    # data parallelism over ICI all-reduces ~183 MB of fp32 grads per step
-    # against a ~500 ms step — well under ICI bandwidth — and the dp mesh
-    # path is parity-tested on the 8-device virtual mesh
-    # (tests/test_parallel.py); no multi-chip hardware exists in this
-    # environment to measure it directly.
+    # per-chip, both cores). The projection uses DP_EFF=0.95; the JSON
+    # carries the supporting bandwidth arithmetic (computed from the actual
+    # parameter trees) so the bound is auditable: a ring all-reduce of the
+    # fp32 grads moves 2*B*(n-1)/n bytes per chip, and even at a single
+    # ICI link's one-way bandwidth the implied comm time is <2% of the
+    # v4-scaled step — 0.95 is conservative. No multi-chip hardware exists
+    # in this environment to measure it directly; the dp mesh path is
+    # parity-tested on the 8-device virtual mesh (tests/test_parallel.py).
     DP_EFF = 0.95
     V48_CHIPS = 4
     v48_vps = (
         vps * (PEAK_FLOPS["v4"] / peak if peak else 1.0) * V48_CHIPS * DP_EFF
     )
+    # --- auditable dp_efficiency bound ----------------------------------
+    def _tree_bytes(tree, bytes_per_param=4):  # fp32 grads
+        import jax
+        return sum(
+            int(np.prod(x.shape)) * bytes_per_param
+            for x in jax.tree.leaves(tree)
+        )
+    grad_bytes_g = _tree_bytes(state.params_G)
+    grad_bytes_d = _tree_bytes(state.params_D)
+    # per G/D pair each step all-reduces only its own grads; ring all-reduce
+    # moves 2*B*(n-1)/n bytes through each chip's ICI
+    ar_bytes_pair = 2 * (grad_bytes_g + grad_bytes_d) * (V48_CHIPS - 1) / V48_CHIPS
+    ICI_BW_GBPS = 45.0  # one v4 ICI link, one-way (public v4 spec ~50 GB/s;
+    # a 2x2 slice has >=2 usable links/chip, so this is a lower bound)
+    comm_s_pair = ar_bytes_pair / (ICI_BW_GBPS * 1e9)
+    pair_s_v4 = per_pair * (peak / PEAK_FLOPS["v4"] if peak else 1.0)
+    dp_eff_bound = 1.0 - comm_s_pair / (pair_s_v4 + comm_s_pair)
     out = {
         "metric": "train_step_voxels_per_sec_per_chip",
         "value": round(vps, 1),
@@ -249,10 +268,23 @@ def main(retry_reason=None):
             "v4_8_projection": {
                 "voxels_per_sec": round(v48_vps, 1),
                 "vs_baseline": round(v48_vps / BASELINE_VOXELS_PER_SEC, 2),
+                "dp_efficiency_used": DP_EFF,
+                "dp_efficiency_bound": {
+                    "grad_bytes_G_fp32": grad_bytes_g,
+                    "grad_bytes_D_fp32": grad_bytes_d,
+                    "ring_allreduce_bytes_per_chip_per_pair": int(
+                        ar_bytes_pair
+                    ),
+                    "ici_bw_assumed_GBps_oneway_single_link": ICI_BW_GBPS,
+                    "comm_ms_per_pair": round(comm_s_pair * 1e3, 2),
+                    "pair_ms_v4_scaled": round(pair_s_v4 * 1e3, 1),
+                    "efficiency_bound_no_overlap": round(dp_eff_bound, 4),
+                },
                 "assumptions": "peak-FLOPs ratio v4/v5e, 4 megacore chips "
-                               "(8 TensorCores), "
-                               f"dp_efficiency={DP_EFF} (estimated; "
-                               "virtual-mesh parity-tested only)",
+                               "(8 TensorCores); dp_efficiency bound "
+                               "computed from actual param trees (see "
+                               "dp_efficiency_bound), virtual-mesh "
+                               "parity-tested only",
             },
         },
     }
