@@ -44,7 +44,8 @@ def setup_compile_cache(min_compile_secs: float = 5.0) -> None:
         print(f"# compilation cache unavailable: {e}", file=sys.stderr)
 
 
-def build(batch_size: int, use_remat: bool = False, scale: int = 4):
+def build(batch_size: int, use_remat: bool = False, scale: int = 4,
+          size: int = 64, no_adv: bool = False):
     # measured on v5e: batch 32 fits HBM without remat; remat costs +18% G-step
     # time (758→623 ms without). Larger volumes/batches should re-enable it.
     import jax
@@ -83,8 +84,8 @@ def build(batch_size: int, use_remat: bool = False, scale: int = 4):
     cfg.gan_config.include_pressure = False
     cfg.gan_config.include_z_channel = True
     cfg.gan_config.number_of_z_layers = 10
-    cfg.gan_config.enable_slicing = True
-    cfg.gan_config.slice_size = 64
+    cfg.gan_config.enable_slicing = size == 64
+    cfg.gan_config.slice_size = size
     g = cfg.generator
     g.num_features = 128
     g.num_RRDB = 16
@@ -108,8 +109,15 @@ def build(batch_size: int, use_remat: bool = False, scale: int = 4):
     t.divergence_loss_weight = 0.366
     t.pixel_loss_weight = 0.136
     t.adversarial_loss_weight = 0.0005
+    if no_adv:
+        # reference *_pix4_no_adv recipes: G-only pixel-dominant training,
+        # no discriminator in the graph (use_adv gating in train/gan.py)
+        t.d_g_train_ratio = 0
+        t.adversarial_loss_weight = 0.0
+        t.feature_D_loss_weight = 0.0
+        t.pixel_loss_weight = 4.0
 
-    size, zl = 64, 10
+    zl = 10
     x = np.arange(size, dtype=np.float32) * 150.0
     gan = WindFieldGAN(cfg, x, x)
 
