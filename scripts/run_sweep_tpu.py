@@ -53,6 +53,8 @@ def main():
     trials = _arg("--trials", 24)
     niter = _arg("--niter", 400)
     grace = _arg("--grace", 40)
+    ini = (sys.argv[sys.argv.index("--cfg") + 1]
+           if "--cfg" in sys.argv else "configs/cluster.ini")
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.chdir(root)
@@ -60,12 +62,15 @@ def main():
 
     import jax
 
+    if os.environ.get("WINDSR_PLATFORM"):  # CPU mechanics dry-run
+        jax.config.update("jax_platforms", os.environ["WINDSR_PLATFORM"])
+
     from gan_sr_wind_field_tpu.config import Config
     from gan_sr_wind_field_tpu.data import preprocess
     from gan_sr_wind_field_tpu.search.driver import param_search
     from gan_sr_wind_field_tpu.utils.logging import setup_loggers
 
-    cfg = Config.from_ini(os.path.join(root, "configs", "cluster.ini"))
+    cfg = Config.from_ini(os.path.join(root, ini))
     t = cfg.training
     t.niter = niter
     t.val_period = 200
