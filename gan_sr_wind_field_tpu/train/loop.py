@@ -187,10 +187,31 @@ def train(cfg, dataset_train, dataset_validation, x, y,
         1, int(np.ceil((niter - start_it) / batches_per_epoch)) + 1
     )
 
-    batch_iter = dataset_train.batches(
-        local_batch, rng_np, shuffle=True, epochs=epochs
+    use_device_data = (
+        getattr(cfg, "device_resident_data", False)
+        and jax.process_count() == 1
     )
-    prefetched = prefetch_to_device(batch_iter, sharding=data_sharding)
+    if use_device_data:
+        # upload the split once, slice batches on device — removes the
+        # per-step H2D transfer (data/device_data.py; dominant cost over
+        # remote-tunnel runtimes)
+        from gan_sr_wind_field_tpu.data.device_data import DeviceBatcher
+
+        batcher = DeviceBatcher(
+            dataset_train, local_batch,
+            seed=int(rng_np.integers(0, 2**31 - 1)),
+            sharding=data_sharding,
+        )
+        status.info(
+            "device-resident training data: "
+            f"{batcher.resident_bytes() / 1e6:.0f} MB uploaded once"
+        )
+        prefetched = iter(batcher)
+    else:
+        batch_iter = dataset_train.batches(
+            local_batch, rng_np, shuffle=True, epochs=epochs
+        )
+        prefetched = prefetch_to_device(batch_iter, sharding=data_sharding)
 
     bar = None
     if cfg.display_bar:
