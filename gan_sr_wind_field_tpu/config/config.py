@@ -312,6 +312,12 @@ class Config:
     # reference's epoch-permutation semantics and the pinned CPU golden
     # trajectories. Single-process only (pods keep the host path).
     device_resident_data: bool = False
+    # with device_resident_data: run this many train steps per compiled
+    # dispatch (lax.scan with in-graph batch slicing). 1 = one dispatch
+    # per step. Values >1 amortize the tunnel's per-dispatch round trip;
+    # the loop clamps chunks to log/val/save boundaries (single steps
+    # fill the remainder), so any value is safe.
+    steps_per_dispatch: int = 1
 
     env: EnvConfig = field(default_factory=EnvConfig)
     gan_config: GANConfig = field(default_factory=GANConfig)
@@ -391,6 +397,9 @@ class Config:
             )
             cfg.device_resident_data = _get(
                 base, "device_resident_data", bool, cfg.device_resident_data
+            )
+            cfg.steps_per_dispatch = _get(
+                base, "steps_per_dispatch", int, cfg.steps_per_dispatch
             )
 
         def section(name):

@@ -38,6 +38,75 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def slice_batch(full, zraw, key, *, batch_size: int, patch: int,
+                patch_y: int, cf: int, enable_slicing: bool):
+    """Pure jittable batch maker over the resident volumes.
+
+    full: (N, X, Y, ZL, C) — all LR channels at the full HR grid
+    (``reformat_sample(coarseness_factor=1)`` per volume); zraw:
+    (N, X, Y, ZL, 1) raw heights. Returns (LR, HR, Z) exactly as the
+    host path produces them for the same patch (LR is the pure-strided
+    decimation OF THE PATCH; reference process_data.py:159-176,451-457).
+    Shared by `DeviceBatcher` (one dispatch per batch) and the chunked
+    trainer (`WindFieldGAN.train_chunk`, in-graph batches).
+    """
+    N, X, Y, ZL, C = full.shape
+    P, Py = patch, patch_y
+    kidx, kx, ky = jax.random.split(key, 3)
+    idx = jax.random.randint(kidx, (batch_size,), 0, N)
+    if enable_slicing:
+        bx = jax.random.beta(kx, 0.25, 0.25, (batch_size,))
+        by = jax.random.beta(ky, 0.25, 0.25, (batch_size,))
+        xs = jnp.round(bx * (X - P)).astype(jnp.int32)
+        ys = jnp.round(by * (Y - Py)).astype(jnp.int32)
+    else:
+        xs = ys = jnp.zeros((batch_size,), jnp.int32)
+
+    def one(i, x0, y0):
+        p = jax.lax.dynamic_slice(
+            full, (i, x0, y0, 0, 0), (1, P, Py, ZL, C)
+        )[0]
+        zp = jax.lax.dynamic_slice(
+            zraw, (i, x0, y0, 0, 0), (1, P, Py, ZL, 1)
+        )[0]
+        return p, zp
+
+    patch_b, zp = jax.vmap(one)(idx, xs, ys)
+    hr = patch_b[..., :3]
+    lr = patch_b[:, ::cf, ::cf]
+    return lr, hr, zp
+
+
+def load_resident_volumes(dataset):
+    """Materialize the split's full volumes for `slice_batch` (host side).
+
+    → (full (N,X,Y,ZL,C) f32, zraw (N,X,Y,ZL,1) f32) numpy arrays."""
+    from gan_sr_wind_field_tpu.data.transform import reformat_sample
+
+    full, zraw = [], []
+    for name in dataset.filenames:
+        z, zag, u, v, w, p = dataset._load(name)
+        if dataset.interpolate_z:
+            z, zag, u, v, w, p = dataset._interp_cached(
+                name, z, zag, u, v, w, p
+            )
+        # cf=1: LR == all channels at the full HR grid (u,v,w then the
+        # extra LR channels); channel-wise normalize/decimate commute
+        lr1, _, zt = reformat_sample(
+            np.asarray(z), np.asarray(zag), np.asarray(u),
+            np.asarray(v), np.asarray(w), np.asarray(p),
+            dataset.stats, coarseness_factor=1,
+            include_pressure=dataset.include_pressure,
+            include_z_channel=dataset.include_z_channel,
+            include_above_ground_channel=(
+                dataset.include_above_ground_channel
+            ),
+        )
+        full.append(lr1)
+        zraw.append(zt)
+    return np.stack(full), np.stack(zraw)
+
+
 class DeviceBatcher:
     """Infinite iterator of device-resident (LR, HR, Z) training batches.
 
@@ -57,36 +126,14 @@ class DeviceBatcher:
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
                  sharding: Optional[jax.sharding.Sharding] = None):
-        from gan_sr_wind_field_tpu.data.transform import reformat_sample
+        import functools
 
         self.batch_size = int(batch_size)
         self.slice_size = int(dataset.slice_size)
         self.enable_slicing = bool(dataset.enable_slicing)
         self.cf = int(dataset.coarseness_factor)
 
-        full, zraw = [], []
-        for name in dataset.filenames:
-            z, zag, u, v, w, p = dataset._load(name)
-            if dataset.interpolate_z:
-                z, zag, u, v, w, p = dataset._interp_cached(
-                    name, z, zag, u, v, w, p
-                )
-            # cf=1: LR == all channels at the full HR grid (u,v,w then the
-            # extra LR channels); channel-wise normalize/decimate commute
-            lr1, _, zt = reformat_sample(
-                np.asarray(z), np.asarray(zag), np.asarray(u),
-                np.asarray(v), np.asarray(w), np.asarray(p),
-                dataset.stats, coarseness_factor=1,
-                include_pressure=dataset.include_pressure,
-                include_z_channel=dataset.include_z_channel,
-                include_above_ground_channel=(
-                    dataset.include_above_ground_channel
-                ),
-            )
-            full.append(lr1)
-            zraw.append(zt)
-        full = np.stack(full)     # (N, X, Y, ZL, C)   C = 3 + extras
-        zraw = np.stack(zraw)     # (N, X, Y, ZL, 1)
+        full, zraw = load_resident_volumes(dataset)
 
         replicate = None
         if sharding is not None:
@@ -99,36 +146,14 @@ class DeviceBatcher:
         self._count = 0
 
         N, X, Y, ZL, C = full.shape
-        P = self.slice_size if self.enable_slicing else X
-        Py = self.slice_size if self.enable_slicing else Y
-        cf = self.cf
-        B = self.batch_size
-
-        def make(full, zraw, key):
-            kidx, kx, ky = jax.random.split(key, 3)
-            idx = jax.random.randint(kidx, (B,), 0, N)
-            if self.enable_slicing:
-                bx = jax.random.beta(kx, 0.25, 0.25, (B,))
-                by = jax.random.beta(ky, 0.25, 0.25, (B,))
-                xs = jnp.round(bx * (X - P)).astype(jnp.int32)
-                ys = jnp.round(by * (Y - Py)).astype(jnp.int32)
-            else:
-                xs = ys = jnp.zeros((B,), jnp.int32)
-
-            def one(i, x0, y0):
-                patch = jax.lax.dynamic_slice(
-                    full, (i, x0, y0, 0, 0), (1, P, Py, ZL, C)
-                )[0]
-                zp = jax.lax.dynamic_slice(
-                    zraw, (i, x0, y0, 0, 0), (1, P, Py, ZL, 1)
-                )[0]
-                return patch, zp
-
-            patch, zp = jax.vmap(one)(idx, xs, ys)
-            hr = patch[..., :3]
-            lr = patch[:, ::cf, ::cf]
-            return lr, hr, zp
-
+        make = functools.partial(
+            slice_batch,
+            batch_size=self.batch_size,
+            patch=self.slice_size if self.enable_slicing else X,
+            patch_y=self.slice_size if self.enable_slicing else Y,
+            cf=self.cf,
+            enable_slicing=self.enable_slicing,
+        )
         self._make = jax.jit(
             make,
             out_shardings=(None if sharding is None

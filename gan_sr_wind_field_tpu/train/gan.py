@@ -309,6 +309,12 @@ class WindFieldGAN:
             self._train_step, donate_argnums=0, static_argnames=("augment",),
             compiler_options=copts,
         )
+        self._jit_train_chunk = jax.jit(
+            self._train_chunk, donate_argnums=0,
+            static_argnames=("n_steps", "batch_size", "patch", "patch_y",
+                             "cf", "enable_slicing", "augment"),
+            compiler_options=copts,
+        )
         self._jit_val_step = jax.jit(self._val_step, compiler_options=copts)
         self._jit_generate = jax.jit(self._generate, compiler_options=copts)
         self._jit_generate_q = jax.jit(
@@ -743,6 +749,35 @@ class WindFieldGAN:
                    weights=None):
         return self._jit_train_step(state, lr, hr, z, weights,
                                     augment=augment)
+
+    # ---------------------------------------------------------- chunked step
+    def _train_chunk(self, state, full, zraw, key, *, n_steps, batch_size,
+                     patch, patch_y, cf, enable_slicing, augment):
+        """``n_steps`` train steps in ONE compiled program (lax.scan), each
+        slicing its own batch from the device-resident volumes
+        (data/device_data.py:slice_batch). Removes the per-iteration
+        dispatch round-trips that dominate end-to-end rate over
+        remote-tunnel runtimes (measured: 2 dispatches/it ≈ +0.12 s/it on
+        top of the 0.28 s/it compute step). Batch keys are
+        ``fold_in(key, it)`` — absolute-iteration based, so resume
+        produces the same stream regardless of chunk boundaries.
+        Returns (state, last step's metrics) — the caller aligns chunk
+        ends with its log/val boundaries."""
+        from gan_sr_wind_field_tpu.data.device_data import slice_batch
+
+        def body(st, _):
+            k = jax.random.fold_in(key, st.it)
+            lr, hr, z = slice_batch(
+                full, zraw, k, batch_size=batch_size, patch=patch,
+                patch_y=patch_y, cf=cf, enable_slicing=enable_slicing,
+            )
+            return self._train_step(st, lr, hr, z, None, augment=augment)
+
+        state, ms = jax.lax.scan(body, state, None, length=n_steps)
+        return state, jax.tree.map(lambda x: x[-1], ms)
+
+    def train_chunk(self, state, full, zraw, key, **kw):
+        return self._jit_train_chunk(state, full, zraw, key, **kw)
 
     # ------------------------------------------------------------- val step
     def _val_step(self, state: GANTrainState, lr, hr, z, rng, weights=None):

@@ -241,23 +241,11 @@ def train(cfg, dataset_train, dataset_validation, x, y,
     except ValueError:  # not the main thread (e.g. driven from a test rig)
         pass
 
-    for lr_b, hr_b, z_b in prefetched:
-        if it >= niter:
-            break
-        if stop_signal:
-            status.warning(
-                f"SIGTERM at it {it}: checkpointing and exiting cleanly"
-            )
-            break
-        it += 1
-        if bar is not None:
-            bar.update(it % max(len(dataset_train) // max(batch_size, 1), 1),
-                       it * batch_size // max(len(dataset_train), 1), it)
-        state, metrics = gan.train_step(
-            state, lr_b, hr_b, z_b, augment=augment_on_device
-        )
-
-        if profile_dir and it - start_it == 10:
+    def boundary_work(metrics):
+        """Logging / checkpoint / validation at the current ``it`` —
+        shared by the per-step and chunked hot loops."""
+        nonlocal state, t_window, it_window, profile_dir
+        if profile_dir and it - start_it >= 10:
             jax.block_until_ready(metrics["total"])
             jax.profiler.stop_trace()
             profile_dir = None
@@ -295,6 +283,75 @@ def train(cfg, dataset_train, dataset_validation, x, y,
             state = run_validation(
                 cfg, gan, state, dataset_validation, tb, run_folder, it
             )
+
+    chunk_steps = int(getattr(cfg, "steps_per_dispatch", 1) or 1)
+    if use_device_data and chunk_steps > 1:
+        # chunked hot loop: K steps per compiled dispatch, batches sliced
+        # in-graph (gan.train_chunk). Chunks never cross a log/val/save
+        # boundary or the profiler window; single steps fill remainders.
+        periods = [cfg_t.log_period, cfg_t.save_model_period]
+        if dataset_validation is not None:
+            periods.append(cfg_t.val_period)
+        periods = [p for p in periods if p and p > 0]
+
+        def next_boundary(i):
+            cands = [((i // p) + 1) * p for p in periods]
+            cands.append(niter)
+            if profile_dir:
+                cands.append(start_it + 10)
+            return min(c for c in cands if c > i)
+
+        # distinct stream from the per-batch iterator (which folds its base
+        # key with a batch counter): chunks fold with the absolute it
+        chunk_key = jax.random.fold_in(batcher._key, 0x5EED)
+        chunk_kw = dict(
+            batch_size=local_batch,
+            patch=(batcher.slice_size if batcher.enable_slicing
+                   else batcher._full.shape[1]),
+            patch_y=(batcher.slice_size if batcher.enable_slicing
+                     else batcher._full.shape[2]),
+            cf=batcher.cf,
+            enable_slicing=batcher.enable_slicing,
+            augment=augment_on_device,
+        )
+        while it < niter and not stop_signal:
+            n = min(chunk_steps, next_boundary(it) - it)
+            if n == chunk_steps:
+                state, metrics = gan.train_chunk(
+                    state, batcher._full, batcher._zraw, chunk_key,
+                    n_steps=chunk_steps, **chunk_kw,
+                )
+                it += chunk_steps
+            else:
+                lr_b, hr_b, z_b = next(prefetched)
+                it += 1
+                state, metrics = gan.train_step(
+                    state, lr_b, hr_b, z_b, augment=augment_on_device
+                )
+            boundary_work(metrics)
+        if stop_signal:
+            status.warning(
+                f"SIGTERM at it {it}: checkpointing and exiting cleanly"
+            )
+    else:
+        for lr_b, hr_b, z_b in prefetched:
+            if it >= niter:
+                break
+            if stop_signal:
+                status.warning(
+                    f"SIGTERM at it {it}: checkpointing and exiting cleanly"
+                )
+                break
+            it += 1
+            if bar is not None:
+                bar.update(
+                    it % max(len(dataset_train) // max(batch_size, 1), 1),
+                    it * batch_size // max(len(dataset_train), 1), it,
+                )
+            state, metrics = gan.train_step(
+                state, lr_b, hr_b, z_b, augment=augment_on_device
+            )
+            boundary_work(metrics)
 
     if old_handler is not None:
         _signal.signal(_signal.SIGTERM, old_handler)

@@ -22,13 +22,13 @@ P, CF = 8, 2
 class FakeDataset:
     """Duck-typed WindDataset: u encodes (n, x, y, zl) positionally."""
 
-    def __init__(self, enable_slicing=True, slice_size=P):
+    def __init__(self, enable_slicing=True, slice_size=P, cf=CF):
         self.filenames = [f"s{i}" for i in range(N)]
         self.stats = NormStats(
             z_min=0.0, z_max=1.0, z_above_ground_max=1.0,
             uvw_max=1.0, p_min=0.0, p_max=1.0,
         )
-        self.coarseness_factor = CF
+        self.coarseness_factor = cf
         self.include_pressure = False
         self.include_z_channel = True
         self.include_above_ground_channel = False
@@ -120,6 +120,84 @@ def test_no_slicing_returns_full_volumes():
     for bi in range(3):
         n, xs, ys = _decode(float(hr[bi, 0, 0, 0, 0]))
         assert (xs, ys) == (0, 0)
+
+
+def test_train_chunk_equals_single_steps():
+    """K chunked steps (one compiled scan with in-graph batch slicing)
+    reproduce K single `train_step` calls fed the SAME slice_batch
+    batches — losses and final params must match."""
+    from gan_sr_wind_field_tpu.config import Config
+    from gan_sr_wind_field_tpu.data.device_data import slice_batch
+    from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
+
+    scale = 4  # generator geometry needs the reference upscale factors
+    cfg = Config()
+    cfg.scale = scale
+    cfg.compute_dtype = "float32"
+    cfg.gan_config.include_pressure = False
+    cfg.gan_config.include_z_channel = True
+    cfg.gan_config.number_of_z_layers = ZL
+    cfg.gan_config.enable_slicing = True
+    PQ = 16  # D head needs >=16^3 patches
+    cfg.gan_config.slice_size = PQ
+    g = cfg.generator
+    g.num_features = 8
+    g.num_RRDB = 1
+    g.num_RDB_convs = 2
+    g.RDB_growth_chan = 4
+    g.hr_kern_size = 3
+    g.terrain_number_of_features = 4
+    g.dropout_probability = 0.0
+    cfg.discriminator.num_features = 4
+    t = cfg.training
+    t.d_g_train_period = 2
+    t.d_g_train_ratio = 1
+
+    ds = FakeDataset(cf=scale)
+    # stats that keep magnitudes sane for the model
+    ds.stats = NormStats(0.0, 8.0, 1.0, 6000.0, 0.0, 1.0)
+    from gan_sr_wind_field_tpu.data.device_data import (
+        load_resident_volumes,
+    )
+    full_np, zraw_np = load_resident_volumes(ds)
+    full, zraw = jnp.asarray(full_np), jnp.asarray(zraw_np)
+
+    # physics-grid coords are patch-sized (uniform spacing), as in training
+    xg = np.arange(PQ, dtype=np.float32) * 150.0
+    gan = WindFieldGAN(cfg, xg, xg)
+    B, K = 2, 4
+    state = gan.init_state(
+        jax.random.key(1),
+        (B, PQ // scale, PQ // scale, ZL, 4), (B, PQ, PQ, ZL, 3),
+    )
+    state2 = jax.tree.map(jnp.copy, state)
+    key = jax.random.key(7)
+    kw = dict(batch_size=B, patch=PQ, patch_y=PQ, cf=scale,
+              enable_slicing=True)
+
+    # reference: K single steps, batches from the same fold_in(key, it)
+    metrics1 = None
+    for _ in range(K):
+        k = jax.random.fold_in(key, state.it)
+        lr, hr, z = slice_batch(full, zraw, k, **kw)
+        state, metrics1 = gan.train_step(state, lr, hr, z, augment=True)
+
+    state2, metrics2 = gan.train_chunk(
+        state2, full, zraw, key, n_steps=K, augment=True, **kw
+    )
+
+    assert int(state2.it) == int(state.it) == K
+    np.testing.assert_allclose(
+        float(metrics1["total"]), float(metrics2["total"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics1["D_train_loss"]), float(metrics2["D_train_loss"]),
+        rtol=1e-5,
+    )
+    flat1 = jax.tree.leaves(state.params_G)
+    flat2 = jax.tree.leaves(state2.params_G)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_sharded_batch_lands_on_mesh():
