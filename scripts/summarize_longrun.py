@@ -73,8 +73,10 @@ def summarize(run_folder: str) -> dict:
                 "min": round(float(np.min(tail)), 4),
                 "max": round(float(np.max(tail)), 4)}
 
-    saves = sorted(os.listdir(os.path.join(run_folder, "saves"))) \
-        if os.path.isdir(os.path.join(run_folder, "saves")) else []
+    saves = sorted(
+        (n for n in os.listdir(run_folder) if n.startswith("ckpt_")),
+        key=lambda n: int(n.split("_")[1]),
+    )
 
     # config snapshot: LR milestones + EMA
     snap = {}
