@@ -55,6 +55,12 @@ def argv_to_cfg(argv=None):
                         "path over N test-set samples before serving "
                         "(small-batch latency lever, ops/quant.py; needs "
                         "the fused-trunk single-device path)")
+    p.add_argument("--serve_int8_trunk", metavar="N", type=int, default=0,
+                   help="with --serve: calibrate the int8 TRUNK serving "
+                        "path over N test-set samples (large-batch "
+                        "throughput lever: measured 1.30x at the batch-128 "
+                        "knee, 0.63x at batch 32 — see docs/PERF.md; "
+                        "ops/quant_trunk.py)")
     p.add_argument("--download", action="store_true")
     p.add_argument("--param_search", action="store_true")
     p.add_argument("--synthetic", action="store_true",
@@ -321,6 +327,18 @@ def main(argv=None):
                 sr.quantize(calib)
                 status.info(
                     f"int8 serving head calibrated over {n} test samples"
+                )
+            if args.serve_int8_trunk > 0:
+                import numpy as np
+
+                rng_np = np.random.default_rng(0)
+                n = min(args.serve_int8_trunk, len(ds_test))
+                calib = np.stack(
+                    [ds_test.get(i, rng_np)[0] for i in range(n)]
+                )
+                sr.quantize_trunk(calib)
+                status.info(
+                    f"int8 serving trunk calibrated over {n} test samples"
                 )
             if args.serve_warmup:
                 from gan_sr_wind_field_tpu.eval.server import warmup
