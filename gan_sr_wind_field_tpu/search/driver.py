@@ -119,9 +119,23 @@ def run_trial(gan: WindFieldGAN, cfg, ds_train, ds_val, point, asha,
     niter = cfg.training.niter
     val_period = cfg.training.val_period
 
+    device_iter = None
+    if getattr(cfg, "device_resident_data", False) and jax.process_count() == 1:
+        # zero steady-state H2D during trials (data/device_data.py); the
+        # per-trial upload is seconds and the resident arrays free with
+        # the iterator when the trial ends
+        from gan_sr_wind_field_tpu.data.device_data import DeviceBatcher
+
+        device_iter = iter(DeviceBatcher(
+            ds_train, batch_size, seed=cfg.env.fixed_seed + trial_id,
+        ))
+
     while it < niter and not stopped:
-        for lr_b, hr_b, z_b in ds_train.batches(batch_size, rng_np,
-                                                shuffle=True, epochs=1):
+        for lr_b, hr_b, z_b in (
+            device_iter if device_iter is not None
+            else ds_train.batches(batch_size, rng_np, shuffle=True,
+                                  epochs=1)
+        ):
             if it >= niter or stopped:
                 break
             it += 1

@@ -75,6 +75,9 @@ def main():
     t.niter = niter
     t.val_period = 200
     cfg.dataset_val.deterministic = True
+    # zero steady-state H2D during trials — over the tunnel the host-fed
+    # path runs ~6x slower end to end (docs/PERF.md input pipeline)
+    cfg.device_resident_data = True
     run_folder = os.path.join(root, "runs_root", "runs",
                               f"sweep_tpu_{trials}x{niter}")
     os.makedirs(run_folder, exist_ok=True)
