@@ -119,7 +119,13 @@ def main():
         e = starts[i + 1] if i + 1 < len(starts) else time.time()
         win = [m for ct, m in compile_tap.events if s <= ct < e]
         per_trial_init.append(sum(1 for m in win if "lambda" in m))
-        per_trial_step.append(sum(1 for m in win if "lambda" not in m))
+        # the SHARED train/val step only — each trial also jits its own
+        # tiny device-data slicer (jit(<unknown>) over the resident
+        # volumes) and misc broadcast lambdas, which are not step
+        # recompiles
+        per_trial_step.append(sum(
+            1 for m in win if "_train_step" in m or "_val_step" in m
+        ))
     stopped = sum(1 for r in results if r.get("stopped_early"))
     first_of_shard = {0, len(starts) // 2}
     summary = {
