@@ -316,7 +316,11 @@ class Config:
     # dispatch (lax.scan with in-graph batch slicing). 1 = one dispatch
     # per step. Values >1 amortize the tunnel's per-dispatch round trip;
     # the loop clamps chunks to log/val/save boundaries (single steps
-    # fill the remainder), so any value is safe.
+    # fill the remainder), so any value is safe. MEASURED NEGATIVE at the
+    # flagship batch-32 geometry (0.6-0.8 vs 2.52 it/s — the scan's
+    # loop-carried state pushes the near-ceiling HBM into a slower
+    # buffer-assignment regime; docs/PERF.md); keep 1 there, use >1 only
+    # for HBM-light workloads.
     steps_per_dispatch: int = 1
 
     env: EnvConfig = field(default_factory=EnvConfig)
