@@ -320,7 +320,8 @@ class Config:
     # flagship batch-32 geometry (0.6-0.8 vs 2.52 it/s — the scan's
     # loop-carried state pushes the near-ceiling HBM into a slower
     # buffer-assignment regime; docs/PERF.md); keep 1 there, use >1 only
-    # for HBM-light workloads.
+    # for HBM-light workloads. SIGTERM is observed between dispatches, so
+    # preemption response latency grows by up to steps_per_dispatch steps.
     steps_per_dispatch: int = 1
 
     env: EnvConfig = field(default_factory=EnvConfig)

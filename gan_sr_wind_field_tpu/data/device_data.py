@@ -122,10 +122,16 @@ class DeviceBatcher:
     sharding : optional jax.sharding.NamedSharding
         Sharding for the produced batches (dp/sp meshes). The resident
         volumes are replicated across the mesh.
+    start_count : int
+        Initial value of the batch counter the key is folded with. Pass
+        the resumed iteration so a resumed leg CONTINUES the batch/offset
+        stream instead of replaying the previous leg's (the seed itself is
+        re-derived identically from fixed_seed on every process start).
     """
 
     def __init__(self, dataset, batch_size: int, seed: int = 0,
-                 sharding: Optional[jax.sharding.Sharding] = None):
+                 sharding: Optional[jax.sharding.Sharding] = None,
+                 start_count: int = 0):
         import functools
 
         self.batch_size = int(batch_size)
@@ -143,7 +149,7 @@ class DeviceBatcher:
         self._full = jax.device_put(full, replicate)
         self._zraw = jax.device_put(zraw, replicate)
         self._key = jax.random.key(seed)
-        self._count = 0
+        self._count = int(start_count)
 
         N, X, Y, ZL, C = full.shape
         make = functools.partial(

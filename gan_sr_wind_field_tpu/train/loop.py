@@ -201,6 +201,9 @@ def train(cfg, dataset_train, dataset_validation, x, y,
             dataset_train, local_batch,
             seed=int(rng_np.integers(0, 2**31 - 1)),
             sharding=data_sharding,
+            # continue the batch/offset stream across resume legs (the
+            # seed re-derives identically from fixed_seed each start)
+            start_count=start_it,
         )
         status.info(
             "device-resident training data: "
@@ -327,6 +330,11 @@ def train(cfg, dataset_train, dataset_validation, x, y,
                 it += 1
                 state, metrics = gan.train_step(
                     state, lr_b, hr_b, z_b, augment=augment_on_device
+                )
+            if bar is not None:
+                bar.update(
+                    it % max(len(dataset_train) // max(batch_size, 1), 1),
+                    it * batch_size // max(len(dataset_train), 1), it,
                 )
             boundary_work(metrics)
         if stop_signal:

@@ -76,8 +76,22 @@ def main():
     t.val_period = 200
     cfg.dataset_val.deterministic = True
     # zero steady-state H2D during trials — over the tunnel the host-fed
-    # path runs ~6x slower end to end (docs/PERF.md input pipeline)
-    cfg.device_resident_data = True
+    # path runs ~6x slower end to end (docs/PERF.md input pipeline).
+    # Defaulted ON only when the sweep config didn't set the key itself;
+    # --host_fed forces the host pipeline (e.g. to reproduce a host-fed
+    # sweep or exercise epoch-permutation semantics).
+    import configparser
+
+    raw = configparser.ConfigParser()
+    raw.read(os.path.join(root, ini))
+    ini_sets_resident = any(
+        raw.has_option(s, "device_resident_data")
+        for s in (raw.sections() + [raw.default_section])
+    )
+    if "--host_fed" in sys.argv:
+        cfg.device_resident_data = False
+    elif not ini_sets_resident:
+        cfg.device_resident_data = True
     run_folder = os.path.join(root, "runs_root", "runs",
                               f"sweep_tpu_{trials}x{niter}")
     os.makedirs(run_folder, exist_ok=True)

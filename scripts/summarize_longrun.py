@@ -25,11 +25,15 @@ from gan_sr_wind_field_tpu.viz.analysis import (  # noqa: E402
 
 
 def _series(ev, key):
+    if key not in ev:
+        print(f"WARNING: events key {key!r} absent — summary entries "
+              "derived from it will be null (renamed TB tag?)",
+              file=sys.stderr)
     d = ev.get(key, {"step": [], "value": []})
     return np.asarray(d["step"]), np.asarray(d["value"], dtype=np.float64)
 
 
-def summarize(run_folder: str) -> dict:
+def summarize(run_folder: str) -> "tuple[dict, str]":
     tb_dir = None
     root = os.path.dirname(os.path.dirname(run_folder))
     for p in (

@@ -213,3 +213,15 @@ def test_sharded_batch_lands_on_mesh():
     assert hr.sharding.is_equivalent_to(sh, hr.ndim)
     # replicated residents, sharded batches
     assert len(b._full.sharding.device_set) == 2
+
+
+def test_resumed_batcher_continues_stream_not_replays():
+    # ADVICE r3: a resumed leg re-derives the same seed from fixed_seed,
+    # so without start_count it would replay the previous leg's batches.
+    ds = FakeDataset()
+    a = iter(DeviceBatcher(ds, batch_size=4, seed=7))
+    first_leg = [np.asarray(next(a)[1]) for _ in range(5)]
+    resumed = iter(DeviceBatcher(ds, batch_size=4, seed=7, start_count=3))
+    cont = np.asarray(next(resumed)[1])
+    np.testing.assert_array_equal(cont, first_leg[3])  # continues at 3
+    assert not np.array_equal(cont, first_leg[0])      # does not replay
