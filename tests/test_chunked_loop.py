@@ -66,3 +66,43 @@ def test_chunked_loop_hits_boundaries_and_finishes(tmp_path):
     assert any("it_4" in n for n in imgs)
     # losses finite end-to-end
     assert np.isfinite(float(state.it))
+
+
+def test_resumed_device_resident_leg_continues_batch_stream(
+    tmp_path, monkeypatch
+):
+    """ADVICE r3 integration: train() must hand the resumed iteration to
+    DeviceBatcher (start_count) so leg 2 continues the batch stream
+    instead of replaying leg 1's (the seed re-derives from fixed_seed)."""
+    import gan_sr_wind_field_tpu.data.device_data as dd
+    import gan_sr_wind_field_tpu.train.loop as loop_mod
+
+    captured = []
+    real = dd.DeviceBatcher
+
+    class Spy(real):
+        def __init__(self, *a, **kw):
+            captured.append(kw.get("start_count"))
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(dd, "DeviceBatcher", Spy)
+
+    cfg = _cfg(tmp_path, niter=3, chunk=1)
+    setup_loggers(str(tmp_path / "log"), also_log_to_terminal=False)
+    ds_train, _, ds_val, x, y = preprocess(
+        cfg, synthetic=True, synthetic_hours=10, synthetic_size=32
+    )
+    train(cfg, ds_train, None, x, y)
+    assert captured == [0]
+
+    cfg2 = _cfg(tmp_path, niter=6, chunk=1)
+    cfg2.env.this_runs_folder = str(tmp_path / "run2")
+    cfg2.env.this_runs_tensorboard_log_folder = str(tmp_path / "run2/tb")
+    cfg2.load_model_from_save = True
+    cfg2.training.resume_training_from_save = True
+    cfg2.env.state_load_path = ckpt.latest_checkpoint(
+        cfg.env.this_runs_folder
+    )
+    state = train(cfg2, ds_train, None, x, y)
+    assert int(state.it) == 6
+    assert captured == [0, 3]  # leg 2 continues the stream at it=3
