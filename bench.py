@@ -301,7 +301,7 @@ def main(retry_reason=None):
     print(json.dumps(out))
 
 
-def main_infer(batches=(64, 128)):
+def main_infer(batches=(64, 128), int8_trunk=False):
     """Serving probe (`bench.py --infer`): no-grad generator throughput.
 
     The reference has no serving tier — its inference is single-sample
@@ -312,7 +312,14 @@ def main_infer(batches=(64, 128)):
     {32,64,96,128,192,256} measured a clean knee at 128 (10.50 / 11.91 /
     12.57 / 11.92 / 9.03 Mvox/s at 64/96/128/192/256), so the probe reports
     the training batch-adjacent 64 and the serving optimum 128.
+
+    ``--infer_int8`` additionally times the calibrated int8-trunk path
+    (`ops/quant_trunk.py`, the `--serve_int8_trunk` serving graph) at each
+    batch — the large-batch throughput lever (measured 1.305x at the
+    128 knee; collapses above 128, scripts/probe_int8_knee.py).
     """
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
@@ -322,13 +329,24 @@ def main_infer(batches=(64, 128)):
     for bs in batches:
         gan, state, lr, hr, z = build(bs)
 
+        gen = lambda lr, z: gan.generate(state.params_G, lr, z)  # noqa: E731
+        if int8_trunk:
+            from gan_sr_wind_field_tpu.eval.serve import WindFieldSR
+
+            qt = WindFieldSR(gan, state.params_G).quantize_trunk(
+                np.asarray(lr)
+            )
+            gen = lambda lr, z: gan.generate_quantized(  # noqa: E731
+                state.params_G, None, lr, z, qt
+            )
+
         # scalar accumulator fences every call without serialising them —
         # back-to-back dispatch is the realistic serving schedule
         def run(n):
             acc = jnp.float32(0.0)
             t0 = time.perf_counter()
             for _ in range(n):
-                out = gan.generate(state.params_G, lr, z)
+                out = gen(lr, z)
                 acc = acc + jnp.mean(out)
             _ = float(acc)
             return time.perf_counter() - t0
@@ -349,7 +367,8 @@ def main_infer(batches=(64, 128)):
 
     best = max(per_batch.values(), key=lambda d: d["voxels_per_sec"])
     print(json.dumps({
-        "metric": "infer_voxels_per_sec_per_chip",
+        "metric": ("infer_int8_trunk_voxels_per_sec_per_chip"
+                   if int8_trunk else "infer_voxels_per_sec_per_chip"),
         "value": best["voxels_per_sec"],
         "unit": "HR voxels/s",
         "vs_baseline": round(best["voxels_per_sec"] / BASELINE_VOXELS_PER_SEC, 2),
@@ -359,8 +378,8 @@ def main_infer(batches=(64, 128)):
 
 
 if __name__ == "__main__":
-    if "--infer" in sys.argv:
-        main_infer()
+    if "--infer" in sys.argv or "--infer_int8" in sys.argv:
+        main_infer(int8_trunk="--infer_int8" in sys.argv)
         sys.exit(0)
     try:
         main()

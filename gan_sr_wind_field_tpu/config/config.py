@@ -244,6 +244,14 @@ class TrainingConfig:
     # lacks. 0 disables; typical values 0.999-0.9999. When present in a
     # checkpoint, --use/--export/--serve prefer the EMA weights.
     g_ema_decay: float = 0.0
+    # TPU addition (elastic recovery, train/watchdog.py): seconds without
+    # a completed iteration before the watchdog SIGTERMs its own process
+    # (graceful checkpoint+exit via the preemption handler; hard exit 86
+    # if the runtime is fully dead so a supervisor relaunches from the
+    # last checkpoint — scripts/supervise_train.py). 0 = off. Pick well
+    # above one validation sweep + checkpoint save (300 s at cluster
+    # geometry); remote compiles don't count (arms at the first step).
+    stall_watchdog_s: float = 0.0
 
 
 @dataclass
@@ -586,6 +594,9 @@ class Config:
                 tr, "use_grad_clipping", bool, T.use_grad_clipping
             )
             T.g_ema_decay = _get(tr, "g_ema_decay", float, T.g_ema_decay)
+            T.stall_watchdog_s = _get(
+                tr, "stall_watchdog_s", float, T.stall_watchdog_s
+            )
             T.log_period = _get(tr, "log_period", int, T.log_period)
 
         for sec_name, attr in (

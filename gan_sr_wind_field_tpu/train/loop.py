@@ -244,10 +244,25 @@ def train(cfg, dataset_train, dataset_validation, x, y,
     except ValueError:  # not the main thread (e.g. driven from a test rig)
         pass
 
+    # stall watchdog (elastic recovery): a hung remote-runtime RPC never
+    # returns on its own — SIGTERM-to-self EINTRs it into the graceful
+    # preemption path above; hard exit if the runtime is fully dead
+    # (train/watchdog.py; measured failure mode, docs/evidence/longrun30k.md)
+    watchdog = None
+    if getattr(cfg_t, "stall_watchdog_s", 0) and old_handler is not None:
+        from gan_sr_wind_field_tpu.train.watchdog import StallWatchdog
+
+        watchdog = StallWatchdog(cfg_t.stall_watchdog_s).start()
+        status.info(
+            f"stall watchdog armed at first step: {cfg_t.stall_watchdog_s:.0f}s"
+        )
+
     def boundary_work(metrics):
         """Logging / checkpoint / validation at the current ``it`` —
         shared by the per-step and chunked hot loops."""
         nonlocal state, t_window, it_window, profile_dir
+        if watchdog is not None:
+            watchdog.beat()
         if profile_dir and it - start_it >= 10:
             jax.block_until_ready(metrics["total"])
             jax.profiler.stop_trace()
@@ -361,6 +376,8 @@ def train(cfg, dataset_train, dataset_validation, x, y,
             )
             boundary_work(metrics)
 
+    if watchdog is not None:
+        watchdog.stop()
     if old_handler is not None:
         _signal.signal(_signal.SIGTERM, old_handler)
     if it < niter and not stop_signal:
