@@ -252,9 +252,16 @@ def train(cfg, dataset_train, dataset_validation, x, y,
     if getattr(cfg_t, "stall_watchdog_s", 0) and old_handler is not None:
         from gan_sr_wind_field_tpu.train.watchdog import StallWatchdog
 
-        watchdog = StallWatchdog(cfg_t.stall_watchdog_s).start()
+        watchdog = StallWatchdog(
+            cfg_t.stall_watchdog_s,
+            # a leg launched into a dead runtime hangs before step 1 and
+            # never beats — bound the startup too (cold compile + upload
+            # stay well under this)
+            startup_deadline_s=max(6 * cfg_t.stall_watchdog_s, 1800),
+        ).start()
         status.info(
             f"stall watchdog armed at first step: {cfg_t.stall_watchdog_s:.0f}s"
+            f" (startup deadline {watchdog.startup_deadline_s:.0f}s)"
         )
 
     def boundary_work(metrics):

@@ -61,16 +61,26 @@ class StallWatchdog:
         Replaces ``os._exit(STALL_EXIT_CODE)`` (tests).
     poll_s : float, optional
         Check interval; default ``threshold_s / 4``.
+    startup_deadline_s : float, optional
+        Seconds allowed from :meth:`start` to the FIRST beat before the
+        same escalation fires. A leg launched into a dead runtime hangs
+        in backend init / first compile and never beats — without this
+        deadline the watchdog never arms (observed on the third tunnel
+        outage of the 30k evidence-run night). Set it well above a cold
+        first compile + data upload; 0/None disables (default).
     """
 
     def __init__(self, threshold_s: float, max_fires: int = 2,
-                 action=None, hard_action=None, poll_s: float = None):
+                 action=None, hard_action=None, poll_s: float = None,
+                 startup_deadline_s: float = None):
         self.threshold_s = float(threshold_s)
         self.max_fires = int(max_fires)
+        self.startup_deadline_s = float(startup_deadline_s or 0)
         self._action = action or self._sigterm_self
         self._hard_action = hard_action or self._hard_exit
         self._poll_s = poll_s if poll_s is not None else self.threshold_s / 4
         self._last_beat = None  # None = not armed yet
+        self._t_start = None
         self._fires = 0
         self._stop = threading.Event()
         self._thread = None
@@ -89,6 +99,7 @@ class StallWatchdog:
     def start(self):
         if self.threshold_s <= 0:
             return self
+        self._t_start = time.monotonic()
         self._thread = threading.Thread(
             target=self._watch, name="stall-watchdog", daemon=True
         )
@@ -110,10 +121,16 @@ class StallWatchdog:
         while not self._stop.wait(self._poll_s):
             last = self._last_beat
             if last is None:  # not armed: still compiling / warming up
-                continue
-            stalled_for = time.monotonic() - last
-            if stalled_for < self.threshold_s * (self._fires + 1):
-                continue
+                if not self.startup_deadline_s:
+                    continue
+                waited = time.monotonic() - self._t_start
+                if waited < self.startup_deadline_s * (self._fires + 1):
+                    continue
+                stalled_for = waited  # never reached the first step
+            else:
+                stalled_for = time.monotonic() - last
+                if stalled_for < self.threshold_s * (self._fires + 1):
+                    continue
             self._fires += 1
             if self._fires <= self.max_fires:
                 self._log.critical(

@@ -204,3 +204,34 @@ def test_train_loop_arms_and_stops_watchdog(tmp_path, monkeypatch):
     assert wd._last_beat is not None          # armed by real steps
     assert wd._stop.is_set()                  # stopped on loop exit
     assert np.isfinite(float(state.it))
+
+
+class TestStartupDeadline:
+    def test_fires_when_first_step_never_arrives(self):
+        fired = []
+        wd = StallWatchdog(10.0, action=lambda: fired.append(1),
+                           hard_action=lambda: None, poll_s=0.03,
+                           startup_deadline_s=0.2)
+        wd.start()
+        assert _spin_until(lambda: fired)  # never beaten — startup bound
+        wd.stop()
+
+    def test_no_startup_deadline_means_unarmed_never_fires(self):
+        fired = []
+        wd = StallWatchdog(0.05, action=lambda: fired.append(1),
+                           hard_action=lambda: None, poll_s=0.02)
+        wd.start()
+        time.sleep(0.3)
+        assert not fired
+        wd.stop()
+
+    def test_first_beat_switches_to_step_threshold(self):
+        fired = []
+        wd = StallWatchdog(5.0, action=lambda: fired.append(1),
+                           hard_action=lambda: None, poll_s=0.02,
+                           startup_deadline_s=0.15)
+        wd.start()
+        wd.beat()          # arrives before the startup deadline
+        time.sleep(0.4)    # > startup deadline but < step threshold
+        assert not fired
+        wd.stop()
