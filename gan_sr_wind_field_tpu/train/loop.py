@@ -299,15 +299,30 @@ def train(cfg, dataset_train, dataset_validation, x, y,
             )
 
         if it % cfg_t.save_model_period == 0:
+            if watchdog is not None:
+                # checkpoint IO doesn't beat; don't let a slow save read
+                # as a stall
+                watchdog.grace(max(2 * cfg_t.stall_watchdog_s, 600))
             path = ckpt.save_checkpoint(
                 run_folder, state, keep_last=cfg_t.keep_checkpoints
             )
             status.info(f"saved checkpoint {path}")
+            if watchdog is not None:
+                watchdog.beat()
 
         if dataset_validation is not None and it % cfg_t.val_period == 0:
+            if watchdog is not None:
+                # a val sweep whose graphs still need remote compiles
+                # (val metrics + full-volume figure SR, 1-5 min EACH over
+                # the tunnel) runs minutes without a step beat — measured
+                # spurious SIGTERM at it 500 of the 30k evidence run;
+                # same allowance as the startup deadline
+                watchdog.grace(max(6 * cfg_t.stall_watchdog_s, 1800))
             state = run_validation(
                 cfg, gan, state, dataset_validation, tb, run_folder, it
             )
+            if watchdog is not None:
+                watchdog.beat()
 
     chunk_steps = int(getattr(cfg, "steps_per_dispatch", 1) or 1)
     if use_device_data and chunk_steps > 1:
@@ -383,10 +398,6 @@ def train(cfg, dataset_train, dataset_validation, x, y,
             )
             boundary_work(metrics)
 
-    if watchdog is not None:
-        watchdog.stop()
-    if old_handler is not None:
-        _signal.signal(_signal.SIGTERM, old_handler)
     if it < niter and not stop_signal:
         status.warning(
             f"batch iterator exhausted at it {it} < niter {niter} — "
@@ -398,9 +409,25 @@ def train(cfg, dataset_train, dataset_validation, x, y,
         # left dangling for a later train() in the same process
         jax.profiler.stop_trace()
     if int(state.it) != start_it:
+        # the watchdog stays armed through this save: the final
+        # checkpoint fetches the whole device state, and on a wedged
+        # runtime that fetch hangs forever — measured on the 30k
+        # evidence run (SIGTERM-preempted leg blocked in orbax save,
+        # zero CPU progress; only the watchdog's hard exit 86 lets the
+        # supervisor relaunch from the last periodic checkpoint)
+        if watchdog is not None:
+            watchdog.grace(max(2 * cfg_t.stall_watchdog_s, 600))
         ckpt.save_checkpoint(
             run_folder, state, keep_last=cfg_t.keep_checkpoints
         )
+    if watchdog is not None:
+        watchdog.stop()
+    if old_handler is not None:
+        # restored only after the final save: a watchdog SIGTERM during a
+        # hung save must hit the no-op-by-now custom handler (stop_signal
+        # already set), leaving escalation to the hard exit — not the
+        # default handler, which would kill the process with rc -15
+        _signal.signal(_signal.SIGTERM, old_handler)
     tb.close()
     return state
 

@@ -80,6 +80,7 @@ class StallWatchdog:
         self._hard_action = hard_action or self._hard_exit
         self._poll_s = poll_s if poll_s is not None else self.threshold_s / 4
         self._last_beat = None  # None = not armed yet
+        self._grace_until = 0.0
         self._t_start = None
         self._fires = 0
         self._stop = threading.Event()
@@ -111,6 +112,21 @@ class StallWatchdog:
         self._last_beat = time.monotonic()
         self._fires = 0
 
+    def grace(self, seconds):
+        """Defer firing until ``seconds`` from now (monotonic).
+
+        Call immediately BEFORE a known-long host-blocking phase that
+        does not beat — a validation sweep whose graphs still need a
+        remote compile (1–5 min each over the tunnel), a checkpoint
+        save at large geometry. Measured need: the 30k evidence run's
+        first val sweep (val-metrics compile + full-volume figure-SR
+        compile) ran >352 s without a step beat and drew a spurious
+        SIGTERM at threshold 300 s. Beats resume normal cadence once
+        the phase completes; if the phase itself hangs past the grace
+        window, the watchdog still fires."""
+        until = time.monotonic() + float(seconds)
+        self._grace_until = max(self._grace_until, until)
+
     def stop(self):
         self._stop.set()
         if self._thread is not None:
@@ -128,7 +144,10 @@ class StallWatchdog:
                     continue
                 stalled_for = waited  # never reached the first step
             else:
-                stalled_for = time.monotonic() - last
+                now = time.monotonic()
+                if now < self._grace_until:
+                    continue
+                stalled_for = now - max(last, self._grace_until)
                 if stalled_for < self.threshold_s * (self._fires + 1):
                     continue
             self._fires += 1

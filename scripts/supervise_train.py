@@ -98,6 +98,20 @@ def supervise(cfg_path, extra_args, max_restarts=10, backoff_s=60,
             log(f"[supervisor] target niter={niter} reached")
             break
         if ckpt is None:
+            # exit 86 = the stall watchdog's hard exit (train/watchdog.py
+            # STALL_EXIT_CODE): the runtime died, not the config — a
+            # from-scratch relaunch is safe and counted against
+            # max_restarts. rc 0 short of niter with no checkpoint is the
+            # watchdog's GRACEFUL startup-deadline path (SIGTERM before
+            # the first save exits cleanly at it 0) — same treatment.
+            # Any other rc with no checkpoint is likely a real error that
+            # would just crash-loop; give up.
+            if rc in (86, 0):
+                log("[supervisor] stall death before the first checkpoint "
+                    "— relaunching from scratch")
+                leg_cfg = cfg_path
+                time.sleep(backoff_s)
+                continue
             log("[supervisor] no checkpoint to resume from — giving up "
                 "(died before the first save_model_period)")
             break

@@ -93,6 +93,35 @@ class TestStallWatchdog:
         assert wd._thread is None
         wd.stop()
 
+    def test_grace_defers_firing_through_long_nonbeating_phase(self):
+        # measured failure: the 30k run's first val sweep (two remote
+        # compiles) ran >352 s without a beat and drew a spurious SIGTERM
+        # at threshold 300 — grace() must cover a known-long phase
+        fired = []
+        wd = StallWatchdog(0.15, action=lambda: fired.append(1),
+                           hard_action=lambda: None, poll_s=0.03)
+        wd.start()
+        wd.beat()
+        wd.grace(0.6)  # "validation sweep with compiles"
+        time.sleep(0.45)  # several thresholds deep into the phase
+        assert not fired
+        wd.beat()  # phase done, steps resume
+        time.sleep(0.2)
+        assert not fired
+        wd.stop()
+
+    def test_grace_expiry_restores_stall_detection(self):
+        fired = []
+        wd = StallWatchdog(0.1, action=lambda: fired.append(1),
+                           hard_action=lambda: None, poll_s=0.02)
+        wd.start()
+        wd.beat()
+        wd.grace(0.2)
+        # no beat ever lands again: once grace expires the watchdog gets
+        # one full threshold from expiry, then fires
+        assert _spin_until(lambda: fired, timeout=5.0)
+        wd.stop()
+
 
 class TestSupervisor:
     def _mk_ckpt(self, runs_dir, folder, it):
@@ -170,6 +199,34 @@ class TestSupervisor:
                          log=logs.append)
         assert len(legs) == 1 and legs[0]["rc"] == 1
         assert any("no checkpoint" in m for m in logs)
+
+    def test_supervise_restarts_from_scratch_on_stall_exit(self, tmp_path):
+        """Stall hard-exit (rc 86) BEFORE the first checkpoint must
+        relaunch from scratch, not give up — a dead runtime at startup
+        is recoverable (measured: third tunnel outage of the 30k-run
+        night hung a leg before its first step)."""
+        cfg = self._base_cfg(tmp_path, niter=4)
+        runs = str(tmp_path / "runs")
+        marker = tmp_path / "tried_once"
+        fake = tmp_path / "fake_runner.py"
+        fake.write_text(
+            "import configparser, os, sys\n"
+            "cfg = sys.argv[sys.argv.index('--cfg') + 1]\n"
+            "p = configparser.ConfigParser(); p.read(cfg)\n"
+            "assert not p.getboolean('TRAINING', 'resume_training_from_save')\n"
+            "marker = %r\n"
+            "if not os.path.exists(marker):\n"
+            "    open(marker, 'w').close()\n"
+            "    sys.exit(86)\n"  # stall death, no checkpoint written
+            "os.makedirs(os.path.join(%r, 'job_leg1/ckpt_4'))\n"
+            "sys.exit(0)\n" % (str(marker), runs)
+        )
+        logs = []
+        legs = supervise(cfg, [], max_restarts=3, backoff_s=0,
+                         runner=[sys.executable, str(fake)],
+                         log=logs.append)
+        assert [(l["rc"], l["reached_it"]) for l in legs] == [(86, 0), (0, 4)]
+        assert any("relaunching from scratch" in m for m in logs)
 
 
 def test_train_loop_arms_and_stops_watchdog(tmp_path, monkeypatch):
