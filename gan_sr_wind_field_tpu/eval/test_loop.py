@@ -78,8 +78,15 @@ def _write_metric_row(f, name, m):
 
 def run_test(cfg, dataset_test, x, y, state=None,
              output_root: str = "./test_output",
-             log_period: Optional[int] = None):
+             log_period: Optional[int] = None,
+             ema: bool = False):
     """Evaluate the generator over the test split; write CSVs + field dumps.
+
+    With ``ema=True`` the checkpoint's EMA slot (``params_G_ema``,
+    ``g_ema_decay > 0``) is evaluated instead of the raw generator — the
+    deployment weights ``--use``/``--export``/``--serve`` would ship — and
+    all outputs carry an ``_ema`` name suffix so raw and EMA rows coexist
+    in ``averages.csv``.
 
     Returns the dict of run-average metrics.
     """
@@ -113,9 +120,35 @@ def run_test(cfg, dataset_test, x, y, state=None,
             state = example.replace(
                 params_G=jax.tree.map(jnp.asarray, params_G)
             )
+        elif path.endswith(".npz"):  # continuation pack
+            import jax.numpy as jnp
+
+            from gan_sr_wind_field_tpu.train.continuation import (
+                load_continuation,
+            )
+
+            pack = load_continuation(path)
+            state = example.replace(
+                params_G=jax.tree.map(jnp.asarray, pack["params_G"]),
+                params_G_ema=(
+                    jax.tree.map(jnp.asarray, pack["params_G_ema"])
+                    if pack["params_G_ema"] is not None else None
+                ),
+            )
         else:
             state = ckpt.restore_checkpoint(path, example)
         status.info(f"loaded generator from {path}")
+
+    if ema:
+        if getattr(state, "params_G_ema", None) is None:
+            raise ValueError(
+                "ema=True but the checkpoint carries no EMA slot "
+                "(train with g_ema_decay > 0)"
+            )
+        state = state.replace(params_G=state.params_G_ema)
+        status.info("evaluating the EMA generator slot")
+
+    run_name = f"{cfg.name}_ema" if ema else cfg.name
 
     os.makedirs(output_root, exist_ok=True)
     run_folder = cfg.env.this_runs_folder or output_root
@@ -127,7 +160,7 @@ def run_test(cfg, dataset_test, x, y, state=None,
         with open(avg_path, "w") as f:
             f.write(AVG_HEADER)
 
-    metrics_path = os.path.join(output_root, f"{cfg.name}____metrics.csv")
+    metrics_path = os.path.join(output_root, f"{run_name}____metrics.csv")
     sums = {}
     sums_ri = {}
     n = 0
@@ -138,7 +171,7 @@ def run_test(cfg, dataset_test, x, y, state=None,
         rif = None
         if cfg.gan_config.interpolate_z:
             ri_path = os.path.join(
-                output_root, f"{cfg.name}____metrics_reverse_interpolate.csv"
+                output_root, f"{run_name}____metrics_reverse_interpolate.csv"
             )
             rif = open(ri_path, "w")
             rif.write(METRIC_HEADER)
@@ -213,7 +246,7 @@ def run_test(cfg, dataset_test, x, y, state=None,
     avgs = {k: v / max(n, 1) for k, v in sums.items()}
     with open(avg_path, "a") as f:
         f.write(
-            f"{cfg.name}, {avgs['PSNR']}, {avgs['PSNR_trilinear']}, "
+            f"{run_name}, {avgs['PSNR']}, {avgs['PSNR_trilinear']}, "
             f"{avgs['pix']}, {avgs['trilinear_pix']}, {avgs['old_pix']}, "
             f"{avgs['old_pix_trilinear']}\n"
         )

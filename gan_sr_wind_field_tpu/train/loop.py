@@ -122,7 +122,41 @@ def train(cfg, dataset_train, dataset_validation, x, y,
             d_path = cfg.env.discriminator_load_path
             g_is_pth = bool(g_path) and g_path.endswith(".pth")
             d_is_pth = bool(d_path) and d_path.endswith(".pth")
-            if g_is_pth:
+            if g_path and g_path.endswith(".npz"):
+                # cross-session continuation pack (train/continuation.py):
+                # weights + `it` survive a VM recycle through git; optimizer
+                # moments and the data-stream rng reset (documented)
+                from gan_sr_wind_field_tpu.train.continuation import (
+                    load_continuation,
+                )
+
+                pack = load_continuation(g_path)
+                repl = {"params_G": jax.tree.map(jnp.asarray,
+                                                 pack["params_G"])}
+                if pack["params_D"] is not None:
+                    repl["params_D"] = jax.tree.map(
+                        jnp.asarray, pack["params_D"]
+                    )
+                if pack["batch_stats_D"] is not None:
+                    repl["batch_stats_D"] = jax.tree.map(
+                        jnp.asarray, pack["batch_stats_D"]
+                    )
+                if state.params_G_ema is not None:
+                    ema_src = (
+                        pack["params_G_ema"]
+                        if pack["params_G_ema"] is not None
+                        else pack["params_G"]
+                    )
+                    repl["params_G_ema"] = jax.tree.map(
+                        jnp.asarray, ema_src
+                    )
+                repl["it"] = jnp.int32(pack["it"])
+                state = state.replace(**repl)
+                status.info(
+                    f"continuation warm start from {g_path} at "
+                    f"it={pack['it']} (optimizer moments reset)"
+                )
+            elif g_is_pth:
                 # warm start from reference torch checkpoints
                 from gan_sr_wind_field_tpu.utils.torch_import import (
                     load_reference_checkpoint,
@@ -137,6 +171,13 @@ def train(cfg, dataset_train, dataset_validation, x, y,
                     repl["batch_stats_D"] = jax.tree.map(
                         jnp.asarray, stats_D
                     )
+                if state.params_G_ema is not None:
+                    # seed the EMA slot from the imported weights — leaving
+                    # it at the fresh random init would make the EMA anneal
+                    # from noise for ~1/(1-decay) iterations
+                    repl["params_G_ema"] = jax.tree.map(
+                        jnp.asarray, params_G
+                    )
                 state = state.replace(**repl)
                 status.info(
                     f"imported reference weights G={g_path}"
@@ -146,12 +187,21 @@ def train(cfg, dataset_train, dataset_validation, x, y,
                 # weights-only load from an Orbax checkpoint: restore,
                 # then keep params but reset the training state
                 loaded = ckpt.restore_checkpoint(g_path, state)
-                state = state.replace(
+                repl = dict(
                     params_G=loaded.params_G,
                     params_D=loaded.params_D,
                     batch_stats_D=loaded.batch_stats_D,
                     params_D_frozen=loaded.params_D_frozen,
                 )
+                if state.params_G_ema is not None:
+                    # prefer the checkpoint's EMA slot; seed from its live
+                    # weights otherwise (never keep the random init)
+                    repl["params_G_ema"] = (
+                        loaded.params_G_ema
+                        if loaded.params_G_ema is not None
+                        else jax.tree.map(jnp.copy, loaded.params_G)
+                    )
+                state = state.replace(**repl)
                 status.info(
                     f"loaded weights (fresh training state) from {g_path}"
                 )

@@ -24,7 +24,15 @@ def argv_to_cfg(argv=None):
     p.add_argument("--cfg", default="configs/local.ini", help="config INI path")
     p.add_argument("--train", action="store_true")
     p.add_argument("--test", action="store_true")
+    p.add_argument("--test_ema", action="store_true",
+                   help="with --test: evaluate the checkpoint's EMA "
+                        "generator slot (the deployment weights) instead "
+                        "of the raw generator; outputs get an _ema suffix")
     p.add_argument("--use", action="store_true")
+    p.add_argument("--no_ema", action="store_true",
+                   help="with --use/--export/--serve: deploy the RAW "
+                        "generator weights even when the checkpoint has an "
+                        "EMA slot (default prefers EMA)")
     p.add_argument("--export", metavar="PATH", default=None,
                    help="serialize the generator (weights baked in) to a "
                         "self-contained jax.export artifact at PATH and "
@@ -249,7 +257,7 @@ def main(argv=None):
     if cfg.is_test:
         from gan_sr_wind_field_tpu.eval.test_loop import run_test
 
-        run_test(cfg, ds_test, x, y)
+        run_test(cfg, ds_test, x, y, ema=args.test_ema)
         return
 
     if cfg.is_use or args.export or args.serve is not None:
@@ -279,6 +287,19 @@ def main(argv=None):
                 params_G=jax.tree.map(jax.numpy.asarray, params_G),
                 params_G_ema=None,
             )
+        elif path and path.endswith(".npz"):  # continuation pack
+            from gan_sr_wind_field_tpu.train.continuation import (
+                load_continuation,
+            )
+
+            pack = load_continuation(path)
+            state = example.replace(
+                params_G=jax.tree.map(jax.numpy.asarray, pack["params_G"]),
+                params_G_ema=(
+                    jax.tree.map(jax.numpy.asarray, pack["params_G_ema"])
+                    if pack["params_G_ema"] is not None else None
+                ),
+            )
         elif path:
             state = ckpt.restore_checkpoint(path, example)
         else:
@@ -288,7 +309,7 @@ def main(argv=None):
                     "no generator_load_path set — exporting/serving "
                     "freshly-initialized RANDOM weights"
                 )
-        if getattr(state, "params_G_ema", None) is not None:
+        if getattr(state, "params_G_ema", None) is not None and not args.no_ema:
             # EMA weights are the deployment weights (g_ema_decay > 0)
             state = state.replace(params_G=state.params_G_ema)
             status.info("using EMA generator weights for inference")
