@@ -43,6 +43,15 @@ _DN = ("NDHWC", "DHWIO", "NDHWC")
 # lax.scan unroll factor for the dW stage (measurement knob; see trunk_bwd)
 _DW_UNROLL = int(os.environ.get("WINDSR_DW_UNROLL", "1"))
 
+# dW stage formulation A/B (VERDICT r4 weak 4): "allj" replaces the
+# J-step lax.scan with ONE feature-grouped conv per operand pair that
+# consumes the Pallas streams' natural J-major layout directly (the scan
+# body's transposed conv prefers N-in-sublanes, forcing XLA to relayout
+# all four ~1 GB streams at ~3 ms each before the loop). J moves into the
+# CHANNEL dim of the small cotangent operands instead (explicit
+# transpose), and the scan shell's dynamic-slice/DUS traffic disappears.
+_DW_ALLJ = os.environ.get("WINDSR_DW_ALLJ", "0") == "1"
+
 
 def _conv(v, w, pad):
     return jax.lax.conv_general_dilated(
@@ -56,6 +65,57 @@ def _conv(v, w, pad):
 # than the native transposed conv — the shifted-copy concats relayout badly
 # on the (…, z=10, C) minor dims. The dx bottleneck (K=gc per tap) is only
 # fixable inside a Pallas kernel where the copies stay in registers.
+
+
+def _dw_allj(states, growths, dU, dLFF, *, J, nf, gcT):
+    """All-J dW stage: one feature-grouped conv per (residual, cotangent)
+    pair instead of the J-step scan.
+
+    Formulation: the grad-of-weight conv contracts over (n, xyz) per step
+    j — block-diagonal in J. Expressed as ONE XLA conv by marking the
+    residual's flattened (J·N) leading dim as the contracted FEATURE
+    (lhs spec "CDHWN" — a free reshape in the streams' natural J-major
+    layout) with ``feature_group_count=J``, and moving J into the OUTPUT
+    channel dim of the small cotangent operand (rhs spec "IDHWO",
+    explicit (J,N,…,c) → (N,…,J·c) transpose — the only copy this
+    formulation pays; the scan relayouts all four streams). Group j of the
+    J·c output channels then contracts exactly residual block j against
+    cotangent block j — no (cin, cout) or cross-step mixing.
+
+    Returns the same stacked (J, …) grads as the scan path.
+    """
+    sp = states.shape[1:-1]  # (N, X, Y, Zl)
+    flat = lambda a, c: a.reshape((J * sp[0],) + sp[1:] + (c,))
+    to_ch = lambda a, c: jnp.transpose(a, (1, 2, 3, 4, 0, 5)).reshape(
+        sp + (J * c,)
+    )
+    dn = ("CDHWN", "IDHWO", "NDHWC")
+
+    def gconv(lhs, rhs, pad):
+        return jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1, 1, 1), padding=[(pad, pad)] * 3,
+            dimension_numbers=dn, feature_group_count=J,
+        )
+
+    s_flat, g_flat = flat(states, nf), flat(growths, gcT)
+    du_ch, dlff_ch = to_ch(dU, gcT), to_ch(dLFF, nf)
+
+    def unpack(out, cin, c):
+        # (cin, kd, kh, kw, J*c) -> (J, kd, kh, kw, cin, c)
+        k = out.shape[1:4]
+        out = out.reshape((cin,) + k + (J, c))
+        return jnp.transpose(out, (4, 1, 2, 3, 0, 5))
+
+    dWall = jnp.concatenate([
+        unpack(gconv(s_flat, du_ch, 1), nf, gcT),
+        unpack(gconv(g_flat, du_ch, 1), gcT, gcT),
+    ], axis=4)
+    dWl = jnp.concatenate([
+        unpack(gconv(s_flat, dlff_ch, 0), nf, nf),
+        unpack(gconv(g_flat, dlff_ch, 0), gcT, nf),
+    ], axis=4)
+    dbl = jnp.sum(dLFF, axis=(1, 2, 3, 4))
+    return dWall, dWl, dbl
 
 
 def _unstack_grads(dWk, dWl, dbl, num_rrdb, K):
@@ -169,13 +229,19 @@ def make_trainable_trunk(G, interpret: bool = False):
             return None, (dWall, dWl, dbl)
 
         xs = (states, growths, dU, dLFF)
-        # unroll MEASURED A REGRESSION on v5e (G step 424.2 → 429.7/435.2 ms
-        # at unroll 1/4/8, scripts/probe_g_step.py): the rolled while-loop's
-        # double-buffered slice/DUS schedule beats the unrolled body's
-        # inflated live ranges. Keep 1; knob retained for re-measurement.
-        _, (dWall_st, dWl_st, dbl_st) = jax.lax.scan(
-            wstep, None, xs, unroll=_DW_UNROLL
-        )
+        if _DW_ALLJ:
+            dWall_st, dWl_st, dbl_st = _dw_allj(
+                states, growths, dU, dLFF, J=J, nf=nf, gcT=gcT
+            )
+        else:
+            # unroll MEASURED A REGRESSION on v5e (G step 424.2 →
+            # 429.7/435.2 ms at unroll 1/4/8, scripts/probe_g_step.py): the
+            # rolled while-loop's double-buffered slice/DUS schedule beats
+            # the unrolled body's inflated live ranges. Keep 1; knob
+            # retained for re-measurement.
+            _, (dWall_st, dWl_st, dbl_st) = jax.lax.scan(
+                wstep, None, xs, unroll=_DW_UNROLL
+            )
         dWk_st = tuple(
             dWall_st[..., : nf + gc * k, k * gc:(k + 1) * gc]
             for k in range(K)
