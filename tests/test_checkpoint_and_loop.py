@@ -20,6 +20,9 @@ from gan_sr_wind_field_tpu.utils.logging import setup_loggers
 from test_train_step import make_batch, tiny_cfg
 
 
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke
+
 class TestCheckpoint:
     def test_roundtrip_bit_exact(self, tmp_path, rng):
         cfg = tiny_cfg()

@@ -1,6 +1,7 @@
 """Config system tests: INI loading, defaults, round-trip, derived fields."""
 
 import os
+import pytest
 
 from gan_sr_wind_field_tpu.config import Config, load_config, safe_list_from_string
 
@@ -8,6 +9,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOCAL_INI = os.path.join(REPO, "configs", "local.ini")
 CLUSTER_INI = os.path.join(REPO, "configs", "cluster.ini")
 
+
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke
 
 def test_defaults():
     cfg = Config()

@@ -26,6 +26,9 @@ from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
 from test_train_step import make_batch, tiny_cfg
 
 
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke
+
 class TestPackFormat:
     def test_roundtrip_nested_trees(self, tmp_path):
         rng = np.random.default_rng(0)

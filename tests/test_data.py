@@ -34,6 +34,9 @@ from gan_sr_wind_field_tpu.config import Config
 from datetime import date
 
 
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke
+
 def _torch_rot_reference(hr_cf, k):
     """Reference rotation semantics on channel-first (C,X,Y,Z) torch tensors
     (process_data.py:198-248)."""

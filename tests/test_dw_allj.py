@@ -6,6 +6,7 @@ exact per-step `jax.linear_transpose` convs the scan body runs.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,9 @@ from gan_sr_wind_field_tpu.models.fused_train import _conv, _dw_allj
 
 J, N, X, Y, ZL, NF, GCT = 6, 2, 4, 4, 3, 8, 8
 
+
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke
 
 def _scan_oracle(states, growths, dU, dLFF):
     w_s = jax.ShapeDtypeStruct((3, 3, 3, NF, GCT), jnp.float32)

@@ -24,6 +24,9 @@ REF_D_PARAMS_SLICING = 10_931_753
 REF_D_PARAMS_FULL = 12_308_009
 
 
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke
+
 def count_params(tree):
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
 

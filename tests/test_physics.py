@@ -26,6 +26,9 @@ from gan_sr_wind_field_tpu.ops.resize import (
 )
 
 
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke
+
 def _rand_field(rng, n=2, x=12, y=10, z=8, c=3):
     return rng.standard_normal((n, x, y, z, c)).astype(np.float32)
 

@@ -3,6 +3,9 @@ NaN guard, validation metrics — all on a tiny model/volume so the jitted
 step compiles fast on the CPU test mesh."""
 
 
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke
+
 def test_grad_clipping_bounds_update():
     """use_grad_clipping applies global-norm clipping at generator.max_norm
     (the reference's commented-out clip, documented fix).
