@@ -20,8 +20,6 @@ from gan_sr_wind_field_tpu.utils.logging import setup_loggers
 from test_train_step import make_batch, tiny_cfg
 
 
-# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
-pytestmark = pytest.mark.smoke
 
 class TestCheckpoint:
     def test_roundtrip_bit_exact(self, tmp_path, rng):
@@ -545,3 +543,7 @@ def test_restore_pre_ema_legacy_checkpoint(tmp_path, rng):
                                                    np.asarray(p)),
         r2.params_G_ema, r2.params_G,
     )
+
+
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke

@@ -10,8 +10,6 @@ LOCAL_INI = os.path.join(REPO, "configs", "local.ini")
 CLUSTER_INI = os.path.join(REPO, "configs", "cluster.ini")
 
 
-# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
-pytestmark = pytest.mark.smoke
 
 def test_defaults():
     cfg = Config()
@@ -148,3 +146,7 @@ def test_xla_scoped_vmem_knob_skipped_on_cpu():
     ).astype(np.float32)
     state, m = gan.train_step(state, lr, hr, z, augment=True)
     assert np.isfinite(float(m["total"]))
+
+
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke

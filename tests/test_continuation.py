@@ -26,8 +26,6 @@ from gan_sr_wind_field_tpu.train.gan import WindFieldGAN
 from test_train_step import make_batch, tiny_cfg
 
 
-# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
-pytestmark = pytest.mark.smoke
 
 class TestPackFormat:
     def test_roundtrip_nested_trees(self, tmp_path):
@@ -165,3 +163,7 @@ class TestStatePack:
             for a, b in zip(src, pg)
         ]
         assert max(diffs) < 0.05
+
+
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke

@@ -34,8 +34,6 @@ from gan_sr_wind_field_tpu.config import Config
 from datetime import date
 
 
-# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
-pytestmark = pytest.mark.smoke
 
 def _torch_rot_reference(hr_cf, k):
     """Reference rotation semantics on channel-first (C,X,Y,Z) torch tensors
@@ -313,3 +311,7 @@ class TestInterpolateZPath:
         out = ds_test.get(0, np.random.default_rng(0))
         assert out[4] is not None and out[5] is not None
         assert out[4].shape == hr.shape
+
+
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke

@@ -16,8 +16,6 @@ from gan_sr_wind_field_tpu.models.fused_train import _conv, _dw_allj
 J, N, X, Y, ZL, NF, GCT = 6, 2, 4, 4, 3, 8, 8
 
 
-# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
-pytestmark = pytest.mark.smoke
 
 def _scan_oracle(states, growths, dU, dLFF):
     w_s = jax.ShapeDtypeStruct((3, 3, 3, NF, GCT), jnp.float32)
@@ -53,3 +51,7 @@ def test_dw_allj_matches_scan_math(rng):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), rtol=2e-5, atol=2e-5, err_msg=name
         )
+
+
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke

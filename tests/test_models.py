@@ -24,8 +24,6 @@ REF_D_PARAMS_SLICING = 10_931_753
 REF_D_PARAMS_FULL = 12_308_009
 
 
-# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
-pytestmark = pytest.mark.smoke
 
 def count_params(tree):
     return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
@@ -176,3 +174,7 @@ def test_non_power_of_two_scale_rounds_down():
     z = jnp.zeros((1, 16, 16, 4, 1))
     variables = g.init(jax.random.key(0), lr, z, train=False)
     assert g.apply(variables, lr, z, train=False).shape == (1, 16, 16, 4, 3)
+
+
+# core inner-loop tier: `pytest -m smoke` (VERDICT r4 next 8)
+pytestmark = pytest.mark.smoke
